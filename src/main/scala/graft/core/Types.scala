@@ -74,7 +74,19 @@ object Types {
       tfs_enc: Array[Byte],
       block_last_doc: Array[Long],
       block_max_tfn: Array[Double],
-      block_start: Array[Int])
+      block_doc_off: Array[Int],
+      block_tf_off: Array[Int])
+
+  /** Per-shard document-length sidecar (the Lucene "norms" analogue):
+    * sorted doc ids + their token counts, both VByte'd. WAND recomputes
+    * the exact BM25 tf-normalization from (tf, dl, avgdl), so scores
+    * are bit-equal to the exhaustive path.
+    */
+  final case class DocNorms(
+      shard: Int,
+      n_docs: Long,
+      docs_enc: Array[Byte],
+      dls_enc: Array[Byte])
 
   /** Global per-term statistics (df over the whole corpus → idf). */
   final case class TermStats(term: String, df: Long, cf: Long, idf: Double)

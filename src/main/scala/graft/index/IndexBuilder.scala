@@ -1,0 +1,346 @@
+package graft.index
+
+import graft.analysis.Tokenizer
+import graft.core.Types._
+import graft.corpus.Corpus
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/** Inverted-index build — the engine's `index!` (reference build driver
+  * /root/reference/src/searchgraph/insertions.jl:19-59), re-expressed
+  * as ONE wide sort-based shuffle per artifact instead of the
+  * reference's lock-guarded thread blocks: the two-step reverse-link
+  * pass it needs for race freedom
+  * (/root/reference/src/searchgraph/neighborhood.jl:66-82) is exactly
+  * what a shuffle gives for free (SURVEY.md §2.3).
+  *
+  * Pipeline (SURVEY.md §3.2):
+  *   documents scan (doc_id, text → column pruning)
+  *   → tokenize + explode, dl attached
+  *   → map-side combined tf agg                 [shuffle 1]
+  *   → shard = doc_id range bucket; repartition(shard)
+  *     + sortWithinPartitions(shard, term, doc_id)   [shuffle 2, sort-based]
+  *   → streaming per-(shard,term) run seal (delta-gap+VByte blocks,
+  *     block-max metadata) — spill-safe: one posting list in memory
+  *     at a time, never a whole shard
+  *   → parquet partitioned by shard (dynamic partition overwrite →
+  *     idempotent per-shard re-runs = resumability)
+  *   → manifest rows (lineage: segment id, doc range, counts, bytes)
+  *     written LAST — the Iceberg-style commit point.
+  *
+  * Skew: sharding postings by DOC RANGE is the salting — a head term's
+  * postings split across all shards, so no reducer ever materializes a
+  * full head-term posting list (SURVEY.md §7.3 "head-term skew").
+  *
+  * Scale: every stage is a Catalyst plan over typed Datasets (no RDDs);
+  * shard count scales with corpus (docs/`docsPerShard`), each sealed
+  * shard is bounded, AQE coalesces small outputs.
+  */
+object IndexBuilder {
+
+  /** One tokenized posting occurrence after tf aggregation. */
+  final case class TermPosting(shard: Int, term: String, doc_id: Long, tf: Long, dl: Long)
+  final case class DocLen(shard: Int, doc_id: Long, dl: Long)
+
+  final case class SnapStats(
+      snapshot_id: Long, n_docs: Long, sum_dl: Long, avgdl: Double,
+      num_shards: Int, max_doc: Long)
+
+  final case class IndexPaths(root: String) {
+    def postings(snap: Long) = s"$root/postings/snap=$snap"
+    def norms(snap: Long) = s"$root/norms/snap=$snap"
+    def termstats(snap: Long) = s"$root/termstats/snap=$snap"
+    def stats(snap: Long) = s"$root/stats/snap=$snap"
+    def manifest = s"$root/manifest"
+    def metrics = s"$root/metrics"
+  }
+
+  /** Build snapshot `snapshotId` over (optionally a doc_id subset of)
+    * the corpus. `onlyShards` limits sealing to the given shards
+    * (resume path); global artifacts (termstats/stats) are written only
+    * when sealing the full shard set.
+    */
+  def build(spark: SparkSession, sfDir: String, indexDir: String,
+      numShards: Int = 8, snapshotId: Long = 1L, parentSnapshot: Long = 0L,
+      onlyShards: Option[Set[Int]] = None,
+      docIdRange: Option[(Long, Long)] = None,
+      writeGlobals: Option[Boolean] = None): Unit = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val paths = IndexPaths(indexDir)
+
+    val docsAll = Corpus.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val docs = docIdRange match {
+      case Some((lo, hi)) => docsAll.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      case None => docsAll
+    }
+
+    // ---- pass 0: corpus stats (tiny driver fetch; partial+final agg, no shuffle)
+    val dl = docs.select(col("doc_id"),
+      size(Tokenizer.tokensCol(col("text"))).as("dl"))
+    val statsRow = dl.agg(
+      count(lit(1)).as("n"), sum("dl").as("sum_dl"), max("doc_id").as("maxd")).head()
+    val nDocs = statsRow.getLong(0)
+    val sumDl = statsRow.getLong(1)
+    val maxDoc = statsRow.getLong(2)
+    val avgdl = sumDl.toDouble / nDocs
+    // range sharding over the GLOBAL id space so snapshots over
+    // different doc batches share shard boundaries and merge shard-locally
+    val globalMax = docsAll.agg(max("doc_id")).head().getLong(0)
+    val shardSize = math.max(1L, (globalMax + numShards) / numShards)
+    val shardCol = (col("doc_id") / shardSize).cast("int")
+
+    // ---- term frequencies: ONE aggregation for tf and dl
+    val tf = Tokenizer.termFrequencies(docs)
+      .select(shardCol.as("shard"), col("term"), col("doc_id"),
+        col("tf").cast("long"), col("dl").cast("long"))
+      .as[TermPosting]
+    val tfScoped = onlyShards match {
+      case Some(ss) => tf.filter(p => ss.contains(p.shard))
+      case None => tf
+    }
+
+    // ---- seal postings: sort-based, streaming per-run
+    val sealedPostings = tfScoped
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "term", "doc_id")
+      .mapPartitions(it => sealRuns(it, avgdl))
+    sealedPostings.write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(paths.postings(snapshotId))
+
+    // ---- seal norms sidecar
+    val dlShard = dl.select(shardCol.as("shard"), col("doc_id"), col("dl").cast("long"))
+      .as[DocLen]
+    val dlScoped = onlyShards match {
+      case Some(ss) => dlShard.filter(d => ss.contains(d.shard))
+      case None => dlShard
+    }
+    val sealedNorms = dlScoped
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .mapPartitions(sealNormRuns)
+    sealedNorms.write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(paths.norms(snapshotId))
+
+    if (writeGlobals.getOrElse(onlyShards.isEmpty)) {
+      // ---- global term stats (df/idf over this snapshot's docs)
+      val termstats = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+        .select(col("term"), col("df"), col("cf"),
+          graft.functions.BM25.idfCol(lit(nDocs), col("df")).as("idf"))
+        .as[TermStats]
+      termstats.write.mode(SaveMode.Overwrite).parquet(paths.termstats(snapshotId))
+
+      Seq(SnapStats(snapshotId, nDocs, sumDl, avgdl, numShards, maxDoc)).toDS()
+        .write.mode(SaveMode.Overwrite).parquet(paths.stats(snapshotId))
+    }
+
+    // ---- lineage + metrics from the WRITTEN artifacts, then commit
+    commitManifest(spark, paths, snapshotId, parentSnapshot, onlyShards)
+  }
+
+  /** Manifest + metrics for the shards just sealed; manifest row
+    * presence IS the commit marker for a (snapshot, shard) segment.
+    */
+  private def commitManifest(spark: SparkSession, paths: IndexPaths,
+      snapshotId: Long, parentSnapshot: Long, onlyShards: Option[Set[Int]]): Unit = {
+    import spark.implicits._
+    val written = loadPostings(spark, paths.root, Seq(snapshotId))
+    val normsW = loadNorms(spark, paths.root, Seq(snapshotId))
+    val scoped = onlyShards match {
+      case Some(ss) => written.filter(p => ss.contains(p.shard))
+      case None => written
+    }
+    val normsScoped = onlyShards match {
+      case Some(ss) => normsW.filter(n => ss.contains(n.shard))
+      case None => normsW
+    }
+    val docRange = normsScoped.map { n =>
+      val (ids, _) = IndexFormat.decodeNorms(n)
+      (n.shard, ids.head, ids.last, n.n_docs)
+    }.toDF("shard", "min_doc", "max_doc", "doc_count")
+    val postAgg = scoped.map(p =>
+        (p.shard, 1L, p.docs_enc.length.toLong + p.tfs_enc.length.toLong))
+      .toDF("shard", "lists", "bytes")
+      .groupBy("shard")
+      .agg(sum("lists").as("term_count"), sum("bytes").as("postings_bytes"))
+    val manifest = docRange.join(postAgg, "shard")
+      .select(lit(snapshotId).as("snapshot_id"),
+        concat(lit(s"snap-$snapshotId-shard-"), col("shard")).as("segment_id"),
+        col("shard").cast("int"), col("min_doc"), col("max_doc"),
+        col("doc_count"), col("term_count"), col("postings_bytes"),
+        lit(parentSnapshot).as("parent_snapshot"))
+      .as[ManifestRow]
+    manifest.write.mode(SaveMode.Append).parquet(paths.manifest)
+
+    val metrics = manifest.flatMap(m => Seq(
+      StageMetric(m.snapshot_id, "seal_postings", m.shard, m.doc_count, m.term_count, m.postings_bytes),
+      StageMetric(m.snapshot_id, "seal_norms", m.shard, m.doc_count, m.doc_count, 0L)))
+    metrics.write.mode(SaveMode.Append).parquet(paths.metrics)
+  }
+
+  /** Resume an interrupted build: diff the manifest against the shard
+    * set the corpus implies, re-seal only the missing shards (the
+    * north rule's checkpoint-resume; idempotent because partition
+    * overwrite is dynamic).
+    */
+  def resume(spark: SparkSession, sfDir: String, indexDir: String,
+      numShards: Int, snapshotId: Long,
+      docIdRange: Option[(Long, Long)] = None): Set[Int] = {
+    import spark.implicits._
+    val paths = IndexPaths(indexDir)
+    val docsAll = Corpus.documents(spark, sfDir).select(col("doc_id"))
+    val globalMax = docsAll.agg(max("doc_id")).head().getLong(0)
+    val shardSize = math.max(1L, (globalMax + numShards) / numShards)
+    val docs = docIdRange match {
+      case Some((lo, hi)) => docsAll.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      case None => docsAll
+    }
+    val expected = docs.select((col("doc_id") / shardSize).cast("int").as("shard"))
+      .distinct().as[Int].collect().toSet
+    val done: Set[Int] =
+      try spark.read.parquet(paths.manifest)
+        .filter(col("snapshot_id") === snapshotId)
+        .select("shard").distinct().as[Int].collect().toSet
+      catch { case _: Throwable => Set.empty }
+    val missing = expected -- done
+    if (missing.nonEmpty)
+      build(spark, sfDir, indexDir, numShards, snapshotId,
+        onlyShards = Some(missing), docIdRange = docIdRange,
+        writeGlobals = Some(true)) // a crash may have preceded the global artifacts
+    missing
+  }
+
+  /** Streaming run-grouper: consecutive (shard, term) rows → sealed
+    * posting list. Input iterator must be sorted by (shard, term,
+    * doc_id); holds ONE list in memory, never a whole shard.
+    */
+  private[index] def sealRuns(it: Iterator[TermPosting], avgdl: Double): Iterator[PostingList] = {
+    val bit = it.buffered
+    new Iterator[PostingList] {
+      override def hasNext: Boolean = bit.hasNext
+      override def next(): PostingList = {
+        val shard = bit.head.shard
+        val term = bit.head.term
+        val ds = new ArrayBuffer[Long]; val ts = new ArrayBuffer[Long]; val ls = new ArrayBuffer[Long]
+        while (bit.hasNext && bit.head.shard == shard && bit.head.term == term) {
+          val r = bit.next()
+          ds += r.doc_id; ts += r.tf; ls += r.dl
+        }
+        IndexFormat.seal(shard, term, ds.toArray, ts.toArray, ls.toArray, avgdl)
+      }
+    }
+  }
+
+  private[index] def sealNormRuns(it: Iterator[DocLen]): Iterator[DocNorms] = {
+    val bit = it.buffered
+    new Iterator[DocNorms] {
+      override def hasNext: Boolean = bit.hasNext
+      override def next(): DocNorms = {
+        val shard = bit.head.shard
+        val ds = new ArrayBuffer[Long]; val ls = new ArrayBuffer[Long]
+        while (bit.hasNext && bit.head.shard == shard) {
+          val r = bit.next()
+          ds += r.doc_id; ls += r.dl
+        }
+        IndexFormat.sealNorms(shard, ds.toArray, ls.toArray)
+      }
+    }
+  }
+
+  // ---------- loaders ----------
+
+  def loadPostings(spark: SparkSession, indexDir: String, snaps: Seq[Long]): Dataset[PostingList] = {
+    import spark.implicits._
+    snaps.map(s => spark.read.parquet(IndexPaths(indexDir).postings(s))
+        .withColumn("shard", col("shard").cast("int")).as[PostingList])
+      .reduce(_ union _)
+  }
+
+  def loadNorms(spark: SparkSession, indexDir: String, snaps: Seq[Long]): Dataset[DocNorms] = {
+    import spark.implicits._
+    snaps.map(s => spark.read.parquet(IndexPaths(indexDir).norms(s))
+        .withColumn("shard", col("shard").cast("int")).as[DocNorms])
+      .reduce(_ union _)
+  }
+
+  def loadStats(spark: SparkSession, indexDir: String, snaps: Seq[Long]): Seq[SnapStats] = {
+    import spark.implicits._
+    snaps.flatMap(s =>
+      spark.read.parquet(IndexPaths(indexDir).stats(s)).as[SnapStats].collect())
+  }
+
+  /** Log-structured multi-way segment merge (the reference's `rebuild`
+    * compaction, /root/reference/src/searchgraph/rebuild.jl:17-53, and
+    * `StaticAdjList` freeze): co-partition the COMPRESSED segments of
+    * all input snapshots by shard, decode, k-way merge per (shard,
+    * term), re-seal under the merged corpus' avgdl. Only compressed
+    * rows cross the wire; doc ranges of input snapshots may interleave
+    * arbitrarily. Deterministic: merged output ≡ a direct full build
+    * (MergeSpec pins this, incl. idempotence + associativity).
+    */
+  def mergeSnapshots(spark: SparkSession, indexDir: String,
+      inSnaps: Seq[Long], outSnap: Long, numShards: Int): Unit = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val paths = IndexPaths(indexDir)
+    val statsIn = loadStats(spark, indexDir, inSnaps)
+    val nDocs = statsIn.map(_.n_docs).sum
+    val sumDl = statsIn.map(_.sum_dl).sum
+    val avgdl = sumDl.toDouble / nDocs
+    val maxDoc = statsIn.map(_.max_doc).max
+
+    val posts = loadPostings(spark, indexDir, inSnaps)
+    val norms = loadNorms(spark, indexDir, inSnaps)
+
+    // decode → dl lookup per shard via cogroup (compressed rows shuffle, not entries)
+    val mergedPostings = posts.groupByKey(_.shard)
+      .cogroup(norms.groupByKey(_.shard)) { (shard, pIt, nIt) =>
+        val dlMap = new java.util.HashMap[Long, Long]()
+        nIt.foreach { nm =>
+          val (ids, dls) = IndexFormat.decodeNorms(nm)
+          var i = 0
+          while (i < ids.length) { dlMap.put(ids(i), dls(i)); i += 1 }
+        }
+        val byTerm = scala.collection.mutable.LinkedHashMap
+          .empty[String, ArrayBuffer[(Array[Long], Array[Long])]]
+        pIt.foreach { pl =>
+          byTerm.getOrElseUpdate(pl.term, new ArrayBuffer) += IndexFormat.decodeAll(pl)
+        }
+        byTerm.toSeq.sortBy(_._1).iterator.map { case (term, segs) =>
+          val all = segs.flatMap { case (ds, ts) => ds.zip(ts) }.sortBy(_._1)
+          val docIds = all.map(_._1).toArray
+          val tfs = all.map(_._2).toArray
+          val dls = docIds.map(d => dlMap.get(d))
+          IndexFormat.seal(shard, term, docIds, tfs, dls, avgdl)
+        }
+      }
+    mergedPostings.write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(paths.postings(outSnap))
+
+    val mergedNorms = norms.groupByKey(_.shard).mapGroups { (shard, nIt) =>
+      val all = nIt.flatMap { nm =>
+        val (ids, dls) = IndexFormat.decodeNorms(nm)
+        ids.zip(dls)
+      }.toArray.sortBy(_._1)
+      IndexFormat.sealNorms(shard, all.map(_._1), all.map(_._2))
+    }
+    mergedNorms.write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(paths.norms(outSnap))
+
+    // merged term stats: df/cf add exactly; idf from merged n
+    val ts = inSnaps.map(s => spark.read.parquet(paths.termstats(s)))
+      .reduce(_ union _)
+      .groupBy("term").agg(sum("df").as("df"), sum("cf").as("cf"))
+      .select(col("term"), col("df"), col("cf"),
+        graft.functions.BM25.idfCol(lit(nDocs), col("df")).as("idf"))
+      .as[TermStats]
+    ts.write.mode(SaveMode.Overwrite).parquet(paths.termstats(outSnap))
+
+    Seq(SnapStats(outSnap, nDocs, sumDl, avgdl, numShards, maxDoc)).toDS()
+      .write.mode(SaveMode.Overwrite).parquet(paths.stats(outSnap))
+
+    commitManifest(spark, paths, outSnap, inSnaps.max, None)
+  }
+}

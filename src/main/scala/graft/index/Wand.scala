@@ -1,0 +1,233 @@
+package graft.index
+
+import graft.core.Types._
+import graft.functions.BM25
+import graft.operators.TopK
+import graft.queries.QuerySet
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/** Block-Max WAND top-k over sealed segments — the fast query path, the
+  * analogue of the reference's pruned beam traversal
+  * (`beamsearch_inner_beam`, /root/reference/src/searchgraph/beamsearch.jl:30-60):
+  * θ-pruning ≡ the radius bound `d ≤ Δ·maximum(res)` with
+  * θ = `covradius` (k-th best, ∞/−∞ until full,
+  * /root/reference/src/pqueue/pqueue.jl:35), block skipping ≡ the
+  * visited-set + budget machinery. Unlike the reference's approximate
+  * graph search, Block-Max WAND with exact per-block maxima is
+  * RANK-EXACT (SURVEY.md §7.3) — required, since our gate is
+  * rank-identity with the exhaustive scorer.
+  *
+  * Distribution model (the reference's `ParallelExhaustiveSearch`
+  * partial/merge, /root/reference/src/parallel-exhaustive.jl:44-62):
+  * segments are sharded by doc range; every shard evaluates WAND for
+  * all queries over its local postings (queries + idf map broadcast),
+  * emits its local top-k, and a final tiny groupBy(query) merge of
+  * bounded heaps produces the global top-k. Scales horizontally in
+  * docs (shards) with no per-query shuffle of scored rows at all —
+  * only k rows per (shard, query) cross the wire.
+  *
+  * Rounding discipline: heap order and final ranking use ROUNDED
+  * scores ((round(s,4) DESC, doc_id ASC) — identical to the exact path
+  * and the DuckDB oracle), while pruning bounds are unrounded uppers
+  * with a conservative margin [[RoundEps]]: a doc is skipped only if
+  * its upper bound < θ − eps, which guarantees its rounded score could
+  * not beat nor tie θ.
+  */
+object Wand {
+
+  val RoundEps: Double = math.pow(10.0, -BM25.SCALE)
+
+  /** Posting-list cursor with block-skip seek. */
+  final class Cursor(val pl: PostingList, val idf: Double) {
+    private var block = -1
+    private var idx = 0
+    private var docs: Array[Long] = _
+    private var tfs: Array[Long] = _
+    var curDoc: Long = 0L
+    var exhausted = false
+    val maxContrib: Double = idf * pl.block_max_tfn.max
+
+    private def loadBlock(b: Int): Unit = {
+      block = b
+      val dt = IndexFormat.decodeBlock(pl, b)
+      docs = dt._1; tfs = dt._2; idx = 0; curDoc = docs(0)
+    }
+    loadBlock(0)
+
+    def blockMaxContrib: Double = idf * pl.block_max_tfn(block)
+    def blockLast: Long = pl.block_last_doc(block)
+    def tf: Long = tfs(idx)
+
+    def next(): Unit = {
+      if (idx + 1 < docs.length) { idx += 1; curDoc = docs(idx) }
+      else if (block + 1 < IndexFormat.numBlocks(pl)) loadBlock(block + 1)
+      else exhausted = true
+    }
+
+    /** Advance to the first doc >= target (block-granular skip, then
+      * in-block scan — a block is ≤ 128 entries).
+      */
+    def seek(target: Long): Unit = {
+      if (exhausted || curDoc >= target) return
+      if (blockLast < target) {
+        val lasts = pl.block_last_doc
+        var b = block + 1
+        val nb = lasts.length
+        while (b < nb && lasts(b) < target) b += 1
+        if (b >= nb) { exhausted = true; return }
+        loadBlock(b)
+      }
+      while (docs(idx) < target) idx += 1
+      curDoc = docs(idx)
+    }
+  }
+
+  /** One query's WAND over one shard's cursors; fills `heap`. `dlAt`
+    * resolves a doc's length from the norms sidecar.
+    */
+  private[index] def wandQuery(cursors0: Array[Cursor], heap: TopK.State,
+      dlAt: Long => Long, avgdl: Double): Unit = {
+    var cursors = cursors0.filter(!_.exhausted)
+    val ord = Ordering.by((c: Cursor) => c.curDoc)
+    while (cursors.nonEmpty) {
+      java.util.Arrays.sort(cursors, ord)
+      val thetaP = TopK.threshold(heap) - RoundEps
+      var acc = 0.0
+      var pivot = -1
+      var i = 0
+      while (i < cursors.length && pivot == -1) {
+        acc += cursors(i).maxContrib
+        if (acc > thetaP) pivot = i
+        i += 1
+      }
+      if (pivot == -1) return // not even Σ max-contributions can matter
+      val pivotDoc = cursors(pivot).curDoc
+      if (cursors(0).curDoc == pivotDoc) {
+        // block-max refinement: bound using CURRENT blocks of 0..pivot
+        var bacc = 0.0
+        var j = 0
+        while (j <= pivot) { bacc += cursors(j).blockMaxContrib; j += 1 }
+        if (bacc > thetaP) {
+          val dl = dlAt(pivotDoc)
+          var s = 0.0
+          var j2 = 0
+          while (j2 < cursors.length && !cursors(j2).exhausted &&
+              cursors(j2).curDoc == pivotDoc) {
+            val c = cursors(j2)
+            s += c.idf * BM25.tfNorm(c.tf, dl, avgdl)
+            c.next()
+            j2 += 1
+          }
+          TopK.insert(heap, pivotDoc, BM25.roundScore(s))
+        } else {
+          // skip to the nearest block boundary; docs in [pivotDoc, target)
+          // are bounded by bacc ≤ θ' (cursors beyond pivot sit ≥ target)
+          var minLast = Long.MaxValue
+          var j3 = 0
+          while (j3 <= pivot) { minLast = math.min(minLast, cursors(j3).blockLast); j3 += 1 }
+          var target = minLast + 1
+          if (pivot + 1 < cursors.length) target = math.min(target, cursors(pivot + 1).curDoc)
+          if (target <= pivotDoc) target = pivotDoc + 1
+          var j4 = 0
+          while (j4 <= pivot) { cursors(j4).seek(target); j4 += 1 }
+        }
+      } else {
+        // docs below pivotDoc are bounded by Σ_{i<pivot} max ≤ θ': skip them
+        var j5 = 0
+        while (j5 < pivot) {
+          if (cursors(j5).curDoc < pivotDoc) cursors(j5).seek(pivotDoc)
+          j5 += 1
+        }
+      }
+      if (cursors.exists(_.exhausted)) cursors = cursors.filter(!_.exhausted)
+    }
+  }
+
+  /** All queries over one shard: local top-k hits per query. */
+  private[index] def evalShard(postings: Iterator[PostingList], norms: Iterator[DocNorms],
+      queries: Seq[TermQuery], idfMap: Map[String, Double],
+      avgdl: Double): Iterator[(Int, Long, Double)] = {
+    val byTerm = scala.collection.mutable.HashMap.empty[String, ArrayBuffer[PostingList]]
+    postings.foreach(pl => byTerm.getOrElseUpdate(pl.term, new ArrayBuffer) += pl)
+    if (byTerm.isEmpty) return Iterator.empty
+    // merged sorted norms arrays (multi-segment shards concatenate disjoint ranges)
+    val segs = norms.map(IndexFormat.decodeNorms).toArray
+    val total = segs.map(_._1.length).sum
+    val nids = new Array[Long](total)
+    val ndls = new Array[Long](total)
+    var off = 0
+    segs.sortBy(s => if (s._1.isEmpty) Long.MaxValue else s._1.head).foreach { case (ids, dls) =>
+      System.arraycopy(ids, 0, nids, off, ids.length)
+      System.arraycopy(dls, 0, ndls, off, dls.length)
+      off += ids.length
+    }
+    val dlAt: Long => Long = { doc =>
+      val p = java.util.Arrays.binarySearch(nids, doc)
+      require(p >= 0, s"doc $doc missing from norms sidecar")
+      ndls(p)
+    }
+    queries.iterator.flatMap { q =>
+      val cursors = q.terms.distinct.flatMap(t =>
+        byTerm.getOrElse(t, ArrayBuffer.empty).map(pl => new Cursor(pl, idfMap(t)))).toArray
+      if (cursors.isEmpty) Iterator.empty
+      else {
+        val heap = TopK.empty(q.k)
+        wandQuery(cursors, heap, dlAt, avgdl)
+        TopK.result(heap).iterator.map(h => (q.query_id, h.doc_id, h.score))
+      }
+    }
+  }
+
+  /** Batch top-k over a built index (possibly several unmerged
+    * snapshots — cursors per segment, doc ranges disjoint per term).
+    */
+  def topK(spark: SparkSession, indexDir: String, snaps: Seq[Long],
+      queries: Seq[TermQuery] = QuerySet.queries): DataFrame = {
+    import spark.implicits._
+    val stats = IndexBuilder.loadStats(spark, indexDir, snaps)
+    val nDocs = stats.map(_.n_docs).sum
+    val avgdl = stats.map(_.sum_dl).sum.toDouble / nDocs
+    val qTerms = queries.flatMap(_.terms).distinct
+    // global idf for the query terms only: tiny agg + driver map + broadcast
+    val idfMap: Map[String, Double] = snaps
+      .map(s => spark.read.parquet(IndexBuilder.IndexPaths(indexDir).termstats(s)))
+      .reduce(_ union _)
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+      .collect()
+      .map(r => r.getString(0) -> BM25.idf(nDocs, r.getLong(1)))
+      .toMap
+    val bc = spark.sparkContext.broadcast((queries, idfMap, avgdl))
+
+    val posts = IndexBuilder.loadPostings(spark, indexDir, snaps)
+      .filter(col("term").isin(qTerms: _*)) // pushed to parquet row groups
+    val norms = IndexBuilder.loadNorms(spark, indexDir, snaps)
+
+    val partial = posts.groupByKey(_.shard)
+      .cogroup(norms.groupByKey(_.shard)) { (_, pIt, nIt) =>
+        val (qs, idf, ad) = bc.value
+        evalShard(pIt, nIt, qs, idf, ad)
+      }
+    val merged = partial.groupByKey(_._1).flatMapGroups { (qid, hits) =>
+      val k = bc.value._1.find(_.query_id == qid).map(_.k).getOrElse(QuerySet.K)
+      val heap = hits.foldLeft(TopK.empty(k)) { case (h, (_, d, s)) => TopK.insert(h, d, s) }
+      TopK.result(heap).zipWithIndex.map { case (h, i) => QueryHit(qid, i + 1, h.doc_id, h.score) }
+    }
+    merged.toDF()
+      .select(col("query_id").cast("int"), col("rnk").cast("int"),
+        col("doc_id").cast("long"), col("score").cast("double"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Registry entry: build a fresh index for the sfDir corpus in a temp
+    * dir, then run the fixed query set through WAND. Content is a pure
+    * function of the corpus — the temp location does not matter.
+    */
+  def topKOnCorpus(spark: SparkSession, sfDir: String, numShards: Int = 4): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-index-").toString
+    IndexBuilder.build(spark, sfDir, idx, numShards)
+    topK(spark, idx, Seq(1L))
+  }
+}

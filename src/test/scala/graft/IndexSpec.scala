@@ -1,0 +1,121 @@
+package graft
+
+import graft.index.{IndexBuilder, IndexFormat}
+import graft.functions.BM25
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.util.Random
+
+/** Index build: seal/decode round-trip (the `StaticAdjList` freeze/thaw
+  * analog, /root/reference/test/testadj.jl:7-46), block-max soundness,
+  * full-corpus postings ↔ tokenizer agreement, resumability from a
+  * partial manifest, and merge determinism (merged snapshots ≡ direct
+  * full build; idempotence + associativity per FIXTURES.md §4).
+  */
+class IndexSpec extends AnyFunSuite {
+
+  private def tmp(): String = Files.createTempDirectory("graft-ix-").toString
+
+  test("seal/decode round-trip with multi-block lists + block-max soundness") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 10) {
+      val n = 1 + rnd.nextInt(1000)
+      val ids = Iterator.continually(math.abs(rnd.nextLong()) % 100000L)
+        .take(n * 3).toSeq.distinct.sorted.take(n).toArray
+      val tfs = Array.fill(ids.length)(1L + rnd.nextInt(20))
+      val dls = Array.fill(ids.length)(10L + rnd.nextInt(200))
+      val avgdl = 55.5
+      val pl = IndexFormat.seal(3, s"t$trial", ids, tfs, dls, avgdl)
+      val (d2, t2) = IndexFormat.decodeAll(pl)
+      assert(d2.toSeq == ids.toSeq && t2.toSeq == tfs.toSeq)
+      assert(pl.df_local == ids.length && pl.cf_local == tfs.sum)
+      // block-max bounds every contribution within its block
+      for (b <- 0 until IndexFormat.numBlocks(pl)) {
+        val len = IndexFormat.blockLen(pl, b)
+        for (i <- 0 until len) {
+          val g = b * IndexFormat.BlockSize + i
+          assert(BM25.tfNorm(tfs(g), dls(g), avgdl) <= pl.block_max_tfn(b) + 1e-12)
+        }
+        assert(pl.block_last_doc(b) == ids(b * IndexFormat.BlockSize + len - 1))
+      }
+      // blocks decode independently
+      for (b <- 0 until IndexFormat.numBlocks(pl)) {
+        val (bd, _) = IndexFormat.decodeBlock(pl, b)
+        assert(bd.head == ids(b * IndexFormat.BlockSize))
+      }
+    }
+  }
+
+  test("built postings reproduce the tokenizer's tf table exactly (sf0.001)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = tmp()
+    IndexBuilder.build(spark, TestSpark.Sf0001, dir, numShards = 4)
+    val fromIndex = IndexBuilder.loadPostings(spark, dir, Seq(1L))
+      .flatMap { pl =>
+        val (ds, ts) = IndexFormat.decodeAll(pl)
+        ds.zip(ts).map { case (d, t) => (pl.term, d, t) }
+      }.toDF("term", "doc_id", "tf")
+    val fromTokens = graft.operators.ExactSearch.termFreqs(spark, TestSpark.Sf0001)
+      .select("term", "doc_id", "tf")
+    assert(fromIndex.except(fromTokens).count() == 0)
+    assert(fromTokens.except(fromIndex).count() == 0)
+    // manifest lineage covers every doc exactly once
+    val man = spark.read.parquet(s"$dir/manifest")
+    assert(man.agg(sum("doc_count")).head().getLong(0) == 500L)
+    assert(man.select("shard").distinct().count() == man.count())
+  }
+
+  test("resume completes a partial build and matches a clean full build") {
+    val spark = TestSpark.spark
+    val full = tmp()
+    IndexBuilder.build(spark, TestSpark.Sf0001, full, numShards = 4)
+    val part = tmp()
+    // simulated crash: only shards {0,1} sealed, no global artifacts
+    IndexBuilder.build(spark, TestSpark.Sf0001, part, numShards = 4,
+      onlyShards = Some(Set(0, 1)))
+    val missing = IndexBuilder.resume(spark, TestSpark.Sf0001, part, 4, 1L)
+    assert(missing == Set(2, 3))
+    assert(IndexBuilder.resume(spark, TestSpark.Sf0001, part, 4, 1L).isEmpty,
+      "second resume is a no-op")
+    assert(postingsKey(full) == postingsKey(part))
+  }
+
+  test("merge of split snapshots ≡ direct full build; idempotent + associative") {
+    val spark = TestSpark.spark
+    val dir = tmp()
+    // three doc-range micro-snapshots (the log-structured batches)
+    IndexBuilder.build(spark, TestSpark.Sf0001, dir, 4, snapshotId = 1L,
+      docIdRange = Some((0L, 150L)))
+    IndexBuilder.build(spark, TestSpark.Sf0001, dir, 4, snapshotId = 2L,
+      docIdRange = Some((150L, 320L)))
+    IndexBuilder.build(spark, TestSpark.Sf0001, dir, 4, snapshotId = 3L,
+      docIdRange = Some((320L, 10000L)))
+    val full = tmp()
+    IndexBuilder.build(spark, TestSpark.Sf0001, full, 4)
+
+    IndexBuilder.mergeSnapshots(spark, dir, Seq(1L, 2L, 3L), 10L, 4)
+    assert(postingsKey(dir, 10L) == postingsKey(full, 1L), "merge(1,2,3) == full build")
+
+    IndexBuilder.mergeSnapshots(spark, dir, Seq(1L, 2L), 11L, 4)
+    IndexBuilder.mergeSnapshots(spark, dir, Seq(11L, 3L), 12L, 4)
+    assert(postingsKey(dir, 12L) == postingsKey(dir, 10L), "merge is associative")
+
+    IndexBuilder.mergeSnapshots(spark, dir, Seq(10L), 13L, 4)
+    assert(postingsKey(dir, 13L) == postingsKey(dir, 10L), "re-merge is a no-op")
+  }
+
+  /** Canonical content key of a snapshot's postings (order-free). */
+  private def postingsKey(dir: String, snap: Long = 1L): Seq[(Int, String, Long, Long, String)] = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    IndexBuilder.loadPostings(spark, dir, Seq(snap))
+      .map(pl => (pl.shard, pl.term, pl.df_local, pl.cf_local,
+        java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5").digest(
+            pl.docs_enc ++ pl.tfs_enc ++
+              pl.block_max_tfn.flatMap(d => java.nio.ByteBuffer.allocate(8).putDouble(d).array())))))
+      .collect().toSeq.sorted
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.core.Types.TermQuery
+import graft.index.{IndexBuilder, Wand}
+import graft.operators.ExactSearch
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.util.Random
+
+/** Rank-identity of the Block-Max WAND fast path against the
+  * exhaustive scorer — the reference's recall-vs-gold harness
+  * (/root/reference/test/testsearchgraph.jl:44-71) tightened to full
+  * (query_id, rnk, doc_id, score) equality, since exact block maxima
+  * make WAND rank-exact (SURVEY.md §7.3).
+  */
+class WandSpec extends AnyFunSuite {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Int, Int, Long, Double)] =
+    df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  private lazy val indexDir: String = {
+    val d = Files.createTempDirectory("graft-wand-").toString
+    IndexBuilder.build(TestSpark.spark, TestSpark.Sf0001, d, numShards = 4)
+    d
+  }
+
+  test("WAND ≡ exact on the fixed query set (sf0.001)") {
+    val spark = TestSpark.spark
+    val exact = rows(ExactSearch.topK(spark, TestSpark.Sf0001))
+    val wand = rows(Wand.topK(spark, indexDir, Seq(1L)))
+    assert(exact.nonEmpty)
+    assert(wand == exact)
+  }
+
+  test("WAND ≡ exact on 40 random queries incl. rare/absent terms and k sweep") {
+    val spark = TestSpark.spark
+    val vocab = Seq("a", "agg", "batch", "big", "column", "customer", "data", "dup",
+      "fast", "filter", "group", "hash", "join", "key", "line", "merge", "order",
+      "part", "query", "row", "scan", "slow", "small", "sort", "spark", "stream",
+      "table", "the", "value", "vector", "window", "zzz_absent")
+    val rnd = new Random(1234)
+    val ks = Seq(1, 3, 7, 10, 25, 67)
+    val qs = (0 until 40).map { i =>
+      val nt = 1 + rnd.nextInt(5)
+      val terms = rnd.shuffle(vocab).take(nt)
+      TermQuery(1000 + i, terms, ks(rnd.nextInt(ks.length)))
+    }
+    import spark.implicits._
+    val qtDf = qs.flatMap(q => q.terms.map(t => (q.query_id, t))).toDF("query_id", "term")
+    val wand = rows(Wand.topK(spark, indexDir, Seq(1L), qs))
+    // exact path with per-query k
+    val kById = qs.map(q => q.query_id -> q.k).toMap
+    val exactAllK = rows(ExactSearch.topK(spark, TestSpark.Sf0001, k = 67, queryTerms = qtDf))
+      .filter { case (qid, rnk, _, _) => rnk <= kById(qid) }
+    assert(wand == exactAllK)
+  }
+
+  test("multi-snapshot (unmerged segments) query ≡ single-snapshot query") {
+    val spark = TestSpark.spark
+    val d = Files.createTempDirectory("graft-wand-multi-").toString
+    IndexBuilder.build(spark, TestSpark.Sf0001, d, 4, snapshotId = 1L,
+      docIdRange = Some((0L, 250L)))
+    IndexBuilder.build(spark, TestSpark.Sf0001, d, 4, snapshotId = 2L,
+      docIdRange = Some((250L, 10000L)))
+    // global stats across the two snapshots equal the full corpus stats,
+    // so querying the union of segments must equal the exact scorer
+    val exact = rows(ExactSearch.topK(spark, TestSpark.Sf0001))
+    val wand = rows(Wand.topK(spark, d, Seq(1L, 2L)))
+    assert(wand == exact)
+  }
+}
