@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.corpus.Corpus
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-faithful sequential `neardup`
+  * (/root/reference/src/neardup.jl:40-118): process id-ordered blocks;
+  * each block is queried against the accepted ("center") set so far —
+  * items whose nearest accepted element is within ε are assigned to it,
+  * the rest pass an intra-block filter (an item is also covered by an
+  * earlier accepted item of ITS OWN block, `neardup_block!`
+  * /root/reference/src/neardup.jl:136-192) and survivors are accepted.
+  *
+  * Acceptance is inherently order-sequential across blocks (the
+  * reference has the same block-order sensitivity — SURVEY.md §7.3), so
+  * this runs as a driver-coordinated loop of Spark jobs: one broadcast
+  * join per block against the accumulated accepted set; only the ≤
+  * blockSize uncovered candidates of the current block are collected
+  * for the sequential intra-block pass. At 10^12 docs the accepted set
+  * stays a Dataset (broadcast threshold aside, the join flips to
+  * shuffle automatically); per-block work is bounded.
+  *
+  * Invariants (reference /root/reference/test/testneardup.jl:14-16,
+  * verbatim): all dist ≤ ε; sort(map) == sort(unique(nn)); accepted
+  * elements cover themselves at dist 0.
+  */
+object NearDupSeq {
+
+  def nearDupSeq(spark: SparkSession, sfDir: String, eps: Double = 0.65,
+      blockSize: Int = 128): DataFrame = {
+    import spark.implicits._
+    val emb = Corpus.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .cache()
+    val ids = emb.select("vec_id").orderBy("vec_id").as[Long].collect()
+    var accepted: DataFrame = null // (nn, nn_emb)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+
+    ids.grouped(blockSize).foreach { block =>
+      val blockDf = emb.filter(col("vec_id").isin(block: _*))
+      // covered by a previously accepted center? nearest wins, ties → smallest id
+      val (coveredIds, coveredRows) = if (accepted == null) (Set.empty[Long], Nil) else {
+        val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("nn").asc)
+        val rows = blockDf.crossJoin(broadcast(accepted))
+          .select(col("vec_id"), col("nn"),
+            VectorOps.distCol(col("emb"), col("nn_emb")).as("dist"))
+          .filter(col("dist") <= eps)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("nn"), col("dist"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        (rows.map(_._1).toSet, rows.toList)
+      }
+      out ++= coveredRows
+      // sequential intra-block pass over the uncovered candidates
+      val cands = blockDf.filter(!col("vec_id").isin(coveredIds.toSeq: _*))
+        .orderBy("vec_id")
+        .as[(Long, Seq[Double])].collect()
+      val blockAccepted = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      cands.foreach { case (id, embSeq) =>
+        val e = embSeq.toArray
+        var bestId = -1L
+        var bestDist = Double.MaxValue
+        blockAccepted.foreach { case (aid, aemb) =>
+          var dot = 0.0
+          var i = 0
+          while (i < e.length) { dot += e(i) * aemb(i); i += 1 }
+          val d = graft.functions.BM25.roundScore(1.0 - dot)
+          if (d <= eps && (d < bestDist || (d == bestDist && aid < bestId))) {
+            bestId = aid; bestDist = d
+          }
+        }
+        if (bestId >= 0) out += ((id, bestId, bestDist))
+        else { blockAccepted += ((id, e)); out += ((id, id, 0.0)) }
+      }
+      if (blockAccepted.nonEmpty) {
+        val newAcc = blockAccepted.toSeq.map { case (i, e) => (i, e.toSeq) }
+          .toDF("nn", "nn_emb")
+        accepted = if (accepted == null) newAcc else accepted.union(newAcc)
+        accepted = accepted.cache()
+      }
+    }
+    emb.unpersist()
+    out.toSeq.toDF("vec_id", "nn", "dist")
+      .select(col("vec_id").cast("long"), col("nn").cast("long"),
+        round(col("dist"), 4).cast("double").as("dist"))
+      .orderBy("vec_id")
+  }
+}

@@ -14,13 +14,26 @@ object Registry {
   def queries: Map[String, Q] = Map(
     "q01_bm25_exact" -> ((s, dir) => graft.operators.ExactSearch.topK(s, dir)),
     "q02_bm25_topk_agg" -> ((s, dir) => graft.operators.TopKSearch.topK(s, dir)),
-    "q03_bm25_wand" -> ((s, dir) => graft.index.Wand.topKOnCorpus(s, dir))
+    "q03_bm25_wand" -> ((s, dir) => graft.index.Wand.topKOnCorpus(s, dir)),
+    "q04_allknn" -> ((s, dir) => graft.operators.VectorOps.allKnn(s, dir)),
+    "q05_closestpair" -> ((s, dir) => graft.operators.VectorOps.closestPair(s, dir)),
+    "q06_neardup_embed" -> ((s, dir) => graft.operators.VectorOps.nearDup(s, dir)),
+    "q07_fft_centers" -> ((s, dir) => graft.operators.CentersOps.fft(s, dir)),
+    "q08_distsample" -> ((s, dir) => graft.operators.VectorOps.distSample(s, dir)),
+    "q09_hsp" -> ((s, dir) => graft.operators.CentersOps.hsp(s, dir)),
+    "q10_rerank" -> ((s, dir) => graft.operators.VectorOps.rerank(s, dir)),
+    "q11_neardup_seq" -> ((s, dir) => graft.operators.NearDupSeq.nearDupSeq(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
   def oracleSql: Map[String, String] = Map(
     "q01_bm25_exact" -> graft.operators.ExactSearch.oracleSql(),
     "q02_bm25_topk_agg" -> graft.operators.ExactSearch.oracleSql(),
-    "q03_bm25_wand" -> graft.operators.ExactSearch.oracleSql()
+    "q03_bm25_wand" -> graft.operators.ExactSearch.oracleSql(),
+    "q04_allknn" -> graft.operators.VectorOps.allKnnOracleSql(),
+    "q05_closestpair" -> graft.operators.VectorOps.closestPairOracleSql,
+    "q06_neardup_embed" -> graft.operators.VectorOps.nearDupOracleSql(),
+    "q08_distsample" -> graft.operators.VectorOps.distSampleOracleSql,
+    "q10_rerank" -> graft.operators.VectorOps.rerankOracleSql()
   )
 }
