@@ -22,7 +22,15 @@ object Registry {
     "q08_distsample" -> ((s, dir) => graft.operators.VectorOps.distSample(s, dir)),
     "q09_hsp" -> ((s, dir) => graft.operators.CentersOps.hsp(s, dir)),
     "q10_rerank" -> ((s, dir) => graft.operators.VectorOps.rerank(s, dir)),
-    "q11_neardup_seq" -> ((s, dir) => graft.operators.NearDupSeq.nearDupSeq(s, dir))
+    "q11_neardup_seq" -> ((s, dir) => graft.operators.NearDupSeq.nearDupSeq(s, dir)),
+    "q12_dedup_exact" -> ((s, dir) => graft.operators.TextOps.dedupExact(s, dir)),
+    "q13_jaccard_pairs" -> ((s, dir) => graft.operators.TextOps.jaccardPairs(s, dir)),
+    "q14_minhash_lsh" -> ((s, dir) => graft.operators.TextOps.minhashLsh(s, dir)),
+    "q15_simhash" -> ((s, dir) => graft.operators.TextOps.simhashPairs(s, dir)),
+    "q16_langid" -> ((s, dir) => graft.operators.TextOps.langId(s, dir)),
+    "q17_quality" -> ((s, dir) => graft.operators.TextOps.qualityScore(s, dir)),
+    "q18_token_count" -> ((s, dir) => graft.operators.TextOps.tokenCount(s, dir)),
+    "q19_fingerprint" -> ((s, dir) => graft.operators.TextOps.fingerprint(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -34,6 +42,13 @@ object Registry {
     "q05_closestpair" -> graft.operators.VectorOps.closestPairOracleSql,
     "q06_neardup_embed" -> graft.operators.VectorOps.nearDupOracleSql(),
     "q08_distsample" -> graft.operators.VectorOps.distSampleOracleSql,
-    "q10_rerank" -> graft.operators.VectorOps.rerankOracleSql()
+    "q10_rerank" -> graft.operators.VectorOps.rerankOracleSql(),
+    "q12_dedup_exact" -> graft.operators.TextOps.dedupExactOracleSql,
+    "q13_jaccard_pairs" -> graft.operators.TextOps.jaccardPairsOracleSql(),
+    "q14_minhash_lsh" -> graft.operators.TextOps.jaccardPairsOracleSql(),
+    "q16_langid" -> graft.operators.TextOps.langIdOracleSql,
+    "q17_quality" -> graft.operators.TextOps.qualityScoreOracleSql,
+    "q18_token_count" -> graft.operators.TextOps.tokenCountOracleSql,
+    "q19_fingerprint" -> graft.operators.TextOps.fingerprintOracleSql
   )
 }
