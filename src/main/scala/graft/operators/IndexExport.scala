@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.index.{IndexBuilder, IndexFormat}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Q20 `sparse(adj)` export (/root/reference/src/adj/Adj.jl:108-157):
+  * the sealed index flattened back to its relational dual — per-term
+  * global stats derived by DECODING the segments (so the export also
+  * round-trip-checks the codec against the tokenizer-side oracle).
+  */
+object IndexExport {
+
+  def postingsExport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-").toString
+    IndexBuilder.build(spark, sfDir, dir, numShards = 4)
+    IndexBuilder.loadPostings(spark, dir, Seq(1L))
+      .flatMap { pl =>
+        val (ds, ts) = IndexFormat.decodeAll(pl)
+        Iterator.single((pl.term, pl.df_local, ts.sum, ds.head, ds.last))
+      }
+      .toDF("term", "df", "cf", "min_doc", "max_doc")
+      .groupBy("term")
+      .agg(sum("df").cast("long").as("df"), sum("cf").cast("long").as("cf"),
+        min("min_doc").cast("long").as("min_doc"), max("max_doc").cast("long").as("max_doc"))
+      .orderBy("term")
+  }
+
+  val postingsExportOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, t.term
+      |  FROM documents, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t(term)
+      |)
+      |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+      |       CAST(count(*) AS BIGINT) AS cf,
+      |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+      |       CAST(max(doc_id) AS BIGINT) AS max_doc
+      |FROM tok GROUP BY term ORDER BY term""".stripMargin
+
+  /** Q19 `PermutedSearchIndex` (/root/reference/src/permindex.jl:10-32):
+    * run the search in a permuted id layout (here p(i) = maxId − i, a
+    * locality-reorder stand-in), then map ids back. The output must be
+    * IDENTICAL to searching the original layout — the oracle is the
+    * direct computation.
+    */
+  def permutedAllKnn(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val emb = graft.corpus.Corpus.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val permuted = emb.select((lit(maxId) - col("vec_id")).as("vec_id"), col("embedding"))
+    val a = permuted.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = permuted.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("nbr_id").asc)
+    a.crossJoin(b)
+      .select(col("a_id"), col("b_id"),
+        VectorOps.distCol(col("a_emb"), col("b_emb")).as("dist"))
+      // map BACK to original ids before ranking — the permutation must
+      // be transparent, including tie-breaks on the ORIGINAL ids
+      .select((lit(maxId) - col("a_id")).as("vec_id"),
+        (lit(maxId) - col("b_id")).as("nbr_id"), col("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id").cast("long"), col("rnk").cast("int"),
+        col("nbr_id").cast("long"), col("dist").cast("double"))
+      .orderBy("vec_id", "rnk")
+  }
+}

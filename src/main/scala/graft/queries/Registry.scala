@@ -30,7 +30,14 @@ object Registry {
     "q16_langid" -> ((s, dir) => graft.operators.TextOps.langId(s, dir)),
     "q17_quality" -> ((s, dir) => graft.operators.TextOps.qualityScore(s, dir)),
     "q18_token_count" -> ((s, dir) => graft.operators.TextOps.tokenCount(s, dir)),
-    "q19_fingerprint" -> ((s, dir) => graft.operators.TextOps.fingerprint(s, dir))
+    "q19_fingerprint" -> ((s, dir) => graft.operators.TextOps.fingerprint(s, dir)),
+    "q20_postings_export" -> ((s, dir) => graft.operators.IndexExport.postingsExport(s, dir)),
+    "q21_ann_lsh" -> ((s, dir) => graft.operators.AnnOps.annLsh(s, dir)),
+    "q22_ann_ivf" -> ((s, dir) => graft.operators.AnnOps.annIvf(s, dir)),
+    "q23_multimodal_meta" -> ((s, dir) => graft.operators.MultimodalOps.mediaMeta(s, dir)),
+    "q24_events_window" -> ((s, dir) => graft.operators.StreamingOps.windowedEventCounts(s, dir)),
+    "q25_permuted_knn" -> ((s, dir) => graft.operators.IndexExport.permutedAllKnn(s, dir)),
+    "q26_recall_metric" -> ((s, dir) => graft.operators.AnnOps.recallReport(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -49,6 +56,11 @@ object Registry {
     "q16_langid" -> graft.operators.TextOps.langIdOracleSql,
     "q17_quality" -> graft.operators.TextOps.qualityScoreOracleSql,
     "q18_token_count" -> graft.operators.TextOps.tokenCountOracleSql,
-    "q19_fingerprint" -> graft.operators.TextOps.fingerprintOracleSql
+    "q19_fingerprint" -> graft.operators.TextOps.fingerprintOracleSql,
+    "q20_postings_export" -> graft.operators.IndexExport.postingsExportOracleSql,
+    "q23_multimodal_meta" -> graft.operators.MultimodalOps.mediaMetaOracleSql,
+    "q24_events_window" -> graft.operators.StreamingOps.windowedEventCountsOracleSql,
+    "q25_permuted_knn" -> graft.operators.VectorOps.allKnnOracleSql(3),
+    "q26_recall_metric" -> graft.operators.AnnOps.recallReportOracleSql()
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{AnnOps, VectorOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approximate-index quality gate — the reference's CI pattern
+  * (/root/reference/test/testsearchgraph.jl:63-68): build the exact
+  * gold with the exhaustive scorer, then require macrorecall ≥ 0.8
+  * from the approximate path. Self-hit (rank 1 = the query itself)
+  * must always be found by construction.
+  */
+class AnnSpec extends AnyFunSuite {
+  private val dir = TestSpark.Sf0001
+  private val k = 5
+
+  private lazy val gold = VectorOps.allKnn(TestSpark.spark, dir, k).cache()
+
+  test("LSH ANN: macrorecall vs exhaustive gold ≥ 0.8; self always found") {
+    val spark = TestSpark.spark
+    val lsh = AnnOps.annLsh(spark, dir, k).cache()
+    val r = AnnOps.macrorecall(gold, lsh, k)
+    info(f"lsh macrorecall = $r%.4f")
+    assert(r >= 0.8, f"LSH recall $r%.4f below the reference gate")
+    import org.apache.spark.sql.functions._
+    assert(lsh.filter(col("rnk") === 1)
+      .filter(col("vec_id") =!= col("nbr_id")).count() == 0)
+  }
+
+  test("IVF ANN: macrorecall vs exhaustive gold ≥ 0.8; self always found") {
+    val spark = TestSpark.spark
+    val ivf = AnnOps.annIvf(spark, dir, k).cache()
+    val r = AnnOps.macrorecall(gold, ivf, k)
+    info(f"ivf macrorecall = $r%.4f")
+    assert(r >= 0.8, f"IVF recall $r%.4f below the reference gate")
+  }
+
+  test("recall metric: rerank-vs-gold macrorecall in (0, 1]") {
+    val spark = TestSpark.spark
+    val r = AnnOps.recallReport(spark, dir, k).head().getDouble(0)
+    assert(r > 0.0 && r <= 1.0)
+  }
+
+  test("optimize_index! transfer: tuner reaches the MinRecall(0.9) goal with minimal nprobe") {
+    val spark = TestSpark.spark
+    val (nprobe, r, _) = AnnOps.tunedIvf(spark, dir, k, nlist = 16, target = 0.9)
+    info(f"tuned nprobe=$nprobe recall=$r%.4f")
+    assert(r >= 0.9)
+    assert(nprobe <= 16)
+    if (nprobe > 1) {
+      // the next-cheaper configuration must fail the goal (minimality)
+      val cheaper = AnnOps.annIvf(spark, dir, k, 16, nprobe / 2)
+      assert(AnnOps.macrorecall(gold, cheaper, k) < 0.9)
+    }
+  }
+}
