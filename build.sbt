@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent sort/seal tasks in ONE JVM. Measured
+  // in round 1: an 8g heap GC-thrashes, and G1 on a lazily-GROWN heap
+  // collapses under a 32-thread allocation storm (93s vs 7s for the
+  // same build). Xms=Xmx sizes the GC regions up front; pages still
+  // fault in lazily (no AlwaysPreTouch), so test JVMs stay cheap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseG1GC")}",
+  s"-XX:${if (sys.env.get("SPARK_PRETOUCH").contains("0")) "-" else "+"}AlwaysPreTouch",
 )

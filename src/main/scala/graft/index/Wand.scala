@@ -105,10 +105,16 @@ object Wand {
       if (pivot == -1) return // not even Σ max-contributions can matter
       val pivotDoc = cursors(pivot).curDoc
       if (cursors(0).curDoc == pivotDoc) {
-        // block-max refinement: bound using CURRENT blocks of 0..pivot
+        // candidate set = ALL cursors at pivotDoc, not just 0..pivot:
+        // cursors past the pivot may also sit on this doc and their
+        // contributions belong in its upper bound (missing them loses
+        // true top-k docs — caught by the multi-block WandSpec test)
+        var p2 = pivot
+        while (p2 + 1 < cursors.length && cursors(p2 + 1).curDoc == pivotDoc) p2 += 1
+        // block-max refinement: bound using CURRENT blocks of 0..p2
         var bacc = 0.0
         var j = 0
-        while (j <= pivot) { bacc += cursors(j).blockMaxContrib; j += 1 }
+        while (j <= p2) { bacc += cursors(j).blockMaxContrib; j += 1 }
         if (bacc > thetaP) {
           val dl = dlAt(pivotDoc)
           var s = 0.0
@@ -123,15 +129,15 @@ object Wand {
           TopK.insert(heap, pivotDoc, BM25.roundScore(s))
         } else {
           // skip to the nearest block boundary; docs in [pivotDoc, target)
-          // are bounded by bacc ≤ θ' (cursors beyond pivot sit ≥ target)
+          // are bounded by bacc ≤ θ' (cursors beyond p2 sit ≥ target)
           var minLast = Long.MaxValue
           var j3 = 0
-          while (j3 <= pivot) { minLast = math.min(minLast, cursors(j3).blockLast); j3 += 1 }
+          while (j3 <= p2) { minLast = math.min(minLast, cursors(j3).blockLast); j3 += 1 }
           var target = minLast + 1
-          if (pivot + 1 < cursors.length) target = math.min(target, cursors(pivot + 1).curDoc)
+          if (p2 + 1 < cursors.length) target = math.min(target, cursors(p2 + 1).curDoc)
           if (target <= pivotDoc) target = pivotDoc + 1
           var j4 = 0
-          while (j4 <= pivot) { cursors(j4).seek(target); j4 += 1 }
+          while (j4 <= p2) { cursors(j4).seek(target); j4 += 1 }
         }
       } else {
         // docs below pivotDoc are bounded by Σ_{i<pivot} max ≤ θ': skip them

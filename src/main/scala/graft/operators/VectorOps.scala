@@ -24,11 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** dot(a,b) accumulated in double, left-to-right. */
-  def dotCol(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a,b) accumulated in double, left-to-right — the codegen'd
+    * [[graft.functions.DotF64]] (bit-identical to the
+    * `aggregate(zip_with(...))` form it replaced, without the per-pair
+    * intermediate arrays).
+    */
+  def dotCol(a: Column, b: Column): Column = graft.functions.DotF64.dot(a, b)
 
   /** NormCosine distance, rounded at the output grid. */
   def distCol(a: Column, b: Column): Column =

@@ -55,6 +55,24 @@ class WandSpec extends AnyFunSuite {
     assert(wand == exactAllK)
   }
 
+  test("WAND ≡ exact with MULTI-BLOCK posting lists (sf0.01, 1 shard → ~4 blocks/list)") {
+    val spark = TestSpark.spark
+    val d = Files.createTempDirectory("graft-wand-blocks-").toString
+    IndexBuilder.build(spark, TestSpark.Sf001, d, numShards = 1)
+    val exact = rows(ExactSearch.topK(spark, TestSpark.Sf001))
+    val wand = rows(Wand.topK(spark, d, Seq(1L)))
+    assert(exact.nonEmpty && wand == exact)
+    // and with a large k that spans block boundaries
+    import spark.implicits._
+    val qs = Seq(TermQuery(500, Seq("dup", "spark", "the"), 150),
+      TermQuery(501, Seq("join"), 300))
+    val qtDf = qs.flatMap(q => q.terms.map(t => (q.query_id, t))).toDF("query_id", "term")
+    val exactBig = rows(ExactSearch.topK(spark, TestSpark.Sf001, k = 300, queryTerms = qtDf))
+      .filter { case (qid, rnk, _, _) => rnk <= (if (qid == 500) 150 else 300) }
+    val wandBig = rows(Wand.topK(spark, d, Seq(1L), qs))
+    assert(wandBig == exactBig)
+  }
+
   test("multi-snapshot (unmerged segments) query ≡ single-snapshot query") {
     val spark = TestSpark.spark
     val d = Files.createTempDirectory("graft-wand-multi-").toString
