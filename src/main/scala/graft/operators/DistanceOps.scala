@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.analysis.Tokenizer
+import graft.corpus.Corpus
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's scalar distance library (SURVEY.md §2.4,
+  * /root/reference/src/dist/) as Spark column expressions, exercised
+  * over a deterministic pair sample so every metric is oracle-checked:
+  *  - Minkowski family L1/L2/L∞/L3 (/root/reference/src/dist/vecs.jl)
+  *  - cosine/normcosine (/root/reference/src/dist/cos.jl)
+  *  - set family Jaccard/Dice/intersection over token sets
+  *    (/root/reference/src/dist/sets.jl:66-100)
+  *  - string family Hamming-prefix + Levenshtein
+  *    (/root/reference/src/dist/seqs.jl:44-119)
+  * All built-ins / higher-order functions — no UDFs; the hot-path dot
+  * is the codegen'd [[graft.functions.DotF64]] elsewhere.
+  */
+object DistanceOps {
+
+  private def diffs(a: Column, b: Column): Column =
+    zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => abs(x - y))
+
+  def l1(a: Column, b: Column): Column =
+    aggregate(diffs(a, b), lit(0.0), (acc, v) => acc + v)
+
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+
+  def linf(a: Column, b: Column): Column =
+    array_max(diffs(a, b))
+
+  def l3(a: Column, b: Column): Column =
+    pow(aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => pow(abs(x - y), 3.0)), lit(0.0), (acc, v) => acc + v), 1.0 / 3.0)
+
+  /** All metrics over the deterministic pair sample (i·31+j ≡ 0 mod 97,
+    * i<j — the same sample rule as distsample).
+    */
+  def vectorDistances(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Corpus.embeddings(spark, sfDir)
+      .select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = Corpus.embeddings(spark, sfDir)
+      .select(col("vec_id").as("j"), col("embedding").as("eb"))
+    a.crossJoin(b)
+      .filter(col("i") < col("j") && pmod(col("i") * 31 + col("j"), lit(97)) === 0)
+      .select(col("i").cast("long"), col("j").cast("long"),
+        round(l1(col("ea"), col("eb")), 4).cast("double").as("l1"),
+        round(l2(col("ea"), col("eb")), 4).cast("double").as("l2"),
+        round(linf(col("ea"), col("eb")), 4).cast("double").as("linf"),
+        round(l3(col("ea"), col("eb")), 4).cast("double").as("l3"),
+        round(lit(1.0) - VectorOps.dotCol(col("ea"), col("eb")), 4)
+          .cast("double").as("normcosine"))
+      .orderBy("i", "j")
+  }
+
+  val vectorDistancesOracleSql: String =
+    """WITH p AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |         CAST(a.embedding AS DOUBLE[]) AS ea, CAST(b.embedding AS DOUBLE[]) AS eb
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < b.vec_id AND (a.vec_id * 31 + b.vec_id) % 97 = 0
+      |)
+      |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+      |  CAST(round(list_sum([abs(ea[k] - eb[k]) FOR k IN range(1, len(ea) + 1)]), 4) AS DOUBLE) AS l1,
+      |  CAST(round(sqrt(list_sum([(ea[k] - eb[k]) * (ea[k] - eb[k]) FOR k IN range(1, len(ea) + 1)])), 4) AS DOUBLE) AS l2,
+      |  CAST(round(list_max([abs(ea[k] - eb[k]) FOR k IN range(1, len(ea) + 1)]), 4) AS DOUBLE) AS linf,
+      |  CAST(round(pow(list_sum([pow(abs(ea[k] - eb[k]), 3.0) FOR k IN range(1, len(ea) + 1)]), 1.0/3.0), 4) AS DOUBLE) AS l3,
+      |  CAST(round(1.0 - list_dot_product(ea, eb), 4) AS DOUBLE) AS normcosine
+      |FROM p ORDER BY i, j""".stripMargin
+
+  /** Set + string distances over a deterministic documents pair sample:
+    * token-set Jaccard/Dice/intersection, Levenshtein and positional
+    * Hamming over the first 24 chars.
+    */
+  def textDistances(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Corpus.documents(spark, sfDir)
+      .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"),
+        substring(col("text"), 1, 24).as("prefix"))
+    val a = t.select(col("doc_id").as("i"), col("toks").as("ta"), col("prefix").as("pa"))
+    val b = t.select(col("doc_id").as("j"), col("toks").as("tb"), col("prefix").as("pb"))
+    val inter = size(array_intersect(array_distinct(col("ta")), array_distinct(col("tb"))))
+    val na = size(array_distinct(col("ta")))
+    val nb = size(array_distinct(col("tb")))
+    a.crossJoin(b)
+      .filter(col("i") < col("j") && pmod(col("i") * 17 + col("j"), lit(131)) === 0)
+      .select(col("i").cast("long"), col("j").cast("long"),
+        inter.cast("long").as("inter_size"),
+        round(lit(1.0) - inter / (na + nb - inter), 4).cast("double").as("jaccard_dist"),
+        round(lit(1.0) - lit(2.0) * inter / (na + nb), 4).cast("double").as("dice_dist"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("lev_prefix"),
+        size(filter(zip_with(split(col("pa"), ""), split(col("pb"), ""),
+          (x, y) => x =!= y), v => v)).cast("long").as("hamming_prefix"))
+      .orderBy("i", "j")
+  }
+
+  val textDistancesOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks,
+      |         substr(text, 1, 24) AS prefix
+      |  FROM documents
+      |), p AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, a.toks AS ta, b.toks AS tb,
+      |         a.prefix AS pa, b.prefix AS pb
+      |  FROM t a, t b
+      |  WHERE a.doc_id < b.doc_id AND (a.doc_id * 17 + b.doc_id) % 131 = 0
+      |)
+      |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+      |  CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter_size,
+      |  CAST(round(1.0 - len(list_intersect(ta, tb)) /
+      |       (len(ta) + len(tb) - len(list_intersect(ta, tb))), 4) AS DOUBLE) AS jaccard_dist,
+      |  CAST(round(1.0 - 2.0 * len(list_intersect(ta, tb)) / (len(ta) + len(tb)), 4) AS DOUBLE) AS dice_dist,
+      |  CAST(levenshtein(pa, pb) AS BIGINT) AS lev_prefix,
+      |  CAST(len([k FOR k IN range(1, len(pa) + 1) IF pa[k] <> pb[k]]) AS BIGINT) AS hamming_prefix
+      |FROM p ORDER BY i, j""".stripMargin
+
+  /** Q23 scalar quantization (/root/reference/src/sq/u8.jl:5-65 and
+    * global variant /root/reference/src/sq/gu8.jl:13-41): affine u8
+    * codes under GLOBAL (min, c) — `code = round((x - min) / c)`,
+    * dequant `x' = min + code·c` — then k-NN over DEQUANTIZED vectors
+    * (the `SQu8NormCosine` path). Quantization error makes this an
+    * approximation of exact kNN; the ranking itself is exact over the
+    * codes, so the DuckDB oracle reproduces it bit-for-bit.
+    */
+  def sqU8Knn(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val emb = Corpus.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val mm = emb.select(
+        min(array_min(col("e"))).as("lo"), max(array_max(col("e"))).as("hi"))
+    val q = emb.crossJoin(broadcast(mm))
+      .select(col("vec_id"),
+        transform(col("e"), x =>
+          round((x - col("lo")) / ((col("hi") - col("lo")) / 255.0), 0)).as("codes"),
+        col("lo"), ((col("hi") - col("lo")) / 255.0).as("c"))
+    val deq = q.select(col("vec_id"),
+      transform(col("codes"), v => col("lo") + v * col("c")).as("dq"))
+    val a = deq.select(col("vec_id").as("i"), col("dq").as("da"))
+    val b = deq.select(col("vec_id").as("j"), col("dq").as("db"))
+    val w = Window.partitionBy("i").orderBy(col("dist").asc, col("j").asc)
+    a.crossJoin(b)
+      .select(col("i"), col("j"),
+        round(lit(1.0) - VectorOps.dotCol(col("da"), col("db")), 4).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("i").cast("long").as("vec_id"), col("rnk").cast("int"),
+        col("j").cast("long").as("nbr_id"), col("dist").cast("double"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  def sqU8KnnOracleSql(k: Int = 5): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), mm AS (
+       |  SELECT min(lo) AS lo, (max(hi) - min(lo)) / 255.0 AS c
+       |  FROM (SELECT list_min(e) AS lo, list_max(e) AS hi FROM e)
+       |), dq AS (
+       |  SELECT vec_id,
+       |         [mm.lo + round((x - mm.lo) / mm.c, 0) * mm.c FOR x IN e] AS d
+       |  FROM e CROSS JOIN mm
+       |), p AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j,
+       |         round(1.0 - list_dot_product(a.d, b.d), 4) AS dist
+       |  FROM dq a, dq b
+       |), r AS (
+       |  SELECT CAST(i AS BIGINT) AS vec_id,
+       |         CAST(row_number() OVER (PARTITION BY i ORDER BY dist ASC, j ASC) AS INTEGER) AS rnk,
+       |         CAST(j AS BIGINT) AS nbr_id, CAST(dist AS DOUBLE) AS dist
+       |  FROM p
+       |)
+       |SELECT vec_id, rnk, nbr_id, dist FROM r WHERE rnk <= $k
+       |ORDER BY vec_id, rnk""".stripMargin
+}

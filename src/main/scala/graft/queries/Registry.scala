@@ -37,7 +37,11 @@ object Registry {
     "q23_multimodal_meta" -> ((s, dir) => graft.operators.MultimodalOps.mediaMeta(s, dir)),
     "q24_events_window" -> ((s, dir) => graft.operators.StreamingOps.windowedEventCounts(s, dir)),
     "q25_permuted_knn" -> ((s, dir) => graft.operators.IndexExport.permutedAllKnn(s, dir)),
-    "q26_recall_metric" -> ((s, dir) => graft.operators.AnnOps.recallReport(s, dir))
+    "q26_recall_metric" -> ((s, dir) => graft.operators.AnnOps.recallReport(s, dir)),
+    "q27_vector_distances" -> ((s, dir) => graft.operators.DistanceOps.vectorDistances(s, dir)),
+    "q28_text_distances" -> ((s, dir) => graft.operators.DistanceOps.textDistances(s, dir)),
+    "q29_sq_u8_knn" -> ((s, dir) => graft.operators.DistanceOps.sqU8Knn(s, dir)),
+    "q30_sessionize" -> ((s, dir) => graft.operators.StreamingOps.sessionize(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -61,6 +65,10 @@ object Registry {
     "q23_multimodal_meta" -> graft.operators.MultimodalOps.mediaMetaOracleSql,
     "q24_events_window" -> graft.operators.StreamingOps.windowedEventCountsOracleSql,
     "q25_permuted_knn" -> graft.operators.VectorOps.allKnnOracleSql(3),
-    "q26_recall_metric" -> graft.operators.AnnOps.recallReportOracleSql()
+    "q26_recall_metric" -> graft.operators.AnnOps.recallReportOracleSql(),
+    "q27_vector_distances" -> graft.operators.DistanceOps.vectorDistancesOracleSql,
+    "q28_text_distances" -> graft.operators.DistanceOps.textDistancesOracleSql,
+    "q29_sq_u8_knn" -> graft.operators.DistanceOps.sqU8KnnOracleSql(),
+    "q30_sessionize" -> graft.operators.StreamingOps.sessionizeOracleSql
   )
 }
