@@ -67,6 +67,28 @@ class IndexSpec extends AnyFunSuite {
     assert(man.select("shard").distinct().count() == man.count())
   }
 
+  test("build content is independent of shard count and shuffle parallelism") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def decoded(shards: Int): Seq[(String, Long, Long)] = {
+      val dir = tmp()
+      IndexBuilder.build(spark, TestSpark.Sf0001, dir, numShards = shards)
+      IndexBuilder.loadPostings(spark, dir, Seq(1L)).flatMap { pl =>
+        val (ds, ts) = IndexFormat.decodeAll(pl)
+        ds.zip(ts).map { case (d, t) => (pl.term, d, t) }
+      }.collect().toSeq.sorted
+    }
+    val two = decoded(2)
+    assert(two == decoded(4), "decoded postings identical across shard counts")
+    // and across shuffle-partition settings (the determinism invariant
+    // FIXTURES.md pins for local[2] vs local[8])
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(decoded(2) == two)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("resume completes a partial build and matches a clean full build") {
     val spark = TestSpark.spark
     val full = tmp()
