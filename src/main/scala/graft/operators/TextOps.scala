@@ -47,17 +47,19 @@ object TextOps {
 
   // ---------------------------------------------------------------- shingles
 
-  /** Distinct 3-token shingles per doc (0-based Spark subscripts). */
-  private def shingleCol: Column = array_distinct(
-    when(size(toks) >= 3,
-      expr("transform(sequence(1, size(filter(split(lower(text), ' '), t -> t != '')) - 2), " +
-        "i -> concat(filter(split(lower(text), ' '), t -> t != '')[i-1], ' ', " +
-        "filter(split(lower(text), ' '), t -> t != '')[i], ' ', " +
-        "filter(split(lower(text), ' '), t -> t != '')[i+1]))"))
-      .otherwise(array().cast("array<string>")))
-
+  /** Distinct 3-token shingles per doc. Tokenize ONCE into a column,
+    * then index it — inlining the tokenizer into the transform lambda
+    * re-splits the full text 3× per shingle position (measured ~5× on
+    * the whole operator at sf0.1).
+    */
   def docShingles(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir).select(col("doc_id"), shingleCol.as("shingles"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), array_distinct(
+        when(size(col("t")) >= 3,
+          expr("transform(sequence(1, size(t) - 2), " +
+            "i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"))
+          .otherwise(array().cast("array<string>"))).as("shingles"))
 
   /** DuckDB fragment: (doc_id, shingles LIST) with 1-based subscripts. */
   private val duckShinglesSql: String =
