@@ -39,6 +39,37 @@ object IndexExport {
       |       CAST(max(doc_id) AS BIGINT) AS max_doc
       |FROM tok GROUP BY term ORDER BY term""".stripMargin
 
+  /** The snapshot manifest itself, oracle-checked: every lineage field
+    * except the physical byte count is derivable from the corpus (doc
+    * ranges per shard, doc counts, posting-list counts), so the commit
+    * record the north rule requires is itself under the DuckDB gate.
+    */
+  def manifestExport(spark: SparkSession, sfDir: String, numShards: Int = 4): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-").toString
+    IndexBuilder.build(spark, sfDir, dir, numShards = numShards)
+    spark.read.parquet(s"$dir/manifest")
+      .select(col("shard").cast("int"), col("min_doc").cast("long"),
+        col("max_doc").cast("long"), col("doc_count").cast("long"),
+        col("term_count").cast("long"))
+      .orderBy("shard")
+  }
+
+  def manifestExportOracleSql(numShards: Int = 4): String =
+    s"""WITH ss AS (
+       |  SELECT CAST((max(doc_id) + $numShards) // $numShards AS BIGINT) AS shard_size
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, t.term
+       |  FROM documents, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t(term)
+       |)
+       |SELECT CAST(doc_id // ss.shard_size AS INTEGER) AS shard,
+       |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       |       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count,
+       |       CAST(count(DISTINCT term) AS BIGINT) AS term_count
+       |FROM tok CROSS JOIN ss
+       |GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** Q19 `PermutedSearchIndex` (/root/reference/src/permindex.jl:10-32):
     * run the search in a permuted id layout (here p(i) = maxId − i, a
     * locality-reorder stand-in), then map ids back. The output must be

@@ -41,7 +41,8 @@ object Registry {
     "q27_vector_distances" -> ((s, dir) => graft.operators.DistanceOps.vectorDistances(s, dir)),
     "q28_text_distances" -> ((s, dir) => graft.operators.DistanceOps.textDistances(s, dir)),
     "q29_sq_u8_knn" -> ((s, dir) => graft.operators.DistanceOps.sqU8Knn(s, dir)),
-    "q30_sessionize" -> ((s, dir) => graft.operators.StreamingOps.sessionize(s, dir))
+    "q30_sessionize" -> ((s, dir) => graft.operators.StreamingOps.sessionize(s, dir)),
+    "q31_manifest" -> ((s, dir) => graft.operators.IndexExport.manifestExport(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -69,6 +70,7 @@ object Registry {
     "q27_vector_distances" -> graft.operators.DistanceOps.vectorDistancesOracleSql,
     "q28_text_distances" -> graft.operators.DistanceOps.textDistancesOracleSql,
     "q29_sq_u8_knn" -> graft.operators.DistanceOps.sqU8KnnOracleSql(),
-    "q30_sessionize" -> graft.operators.StreamingOps.sessionizeOracleSql
+    "q30_sessionize" -> graft.operators.StreamingOps.sessionizeOracleSql,
+    "q31_manifest" -> graft.operators.IndexExport.manifestExportOracleSql()
   )
 }
