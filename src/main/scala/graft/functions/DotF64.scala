@@ -61,4 +61,9 @@ object DotF64 {
     GraftSqlBridge.column(DotF64(
       GraftSqlBridge.expression(a.cast("array<double>")),
       GraftSqlBridge.expression(b.cast("array<double>"))))
+
+  /** Expose to SQL as `graft_dot(a, b)` (function-registry surface). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotF64(exprs.head, exprs(1)), "built-in")
 }
