@@ -22,6 +22,14 @@ class SearchParitySpec extends AnyFunSuite {
     assert(agg == exact)
   }
 
+  test("driver contract: entry() returns rows on sf0.001; registry names align with oracles") {
+    val spark = TestSpark.spark
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+    val qs = graft.SparkEntry.queries.keySet
+    val os = graft.SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
+  }
+
   test("absent-term query returns zero rows (fewer-than-k semantics)") {
     val spark = TestSpark.spark
     val exact = rows(ExactSearch.topK(spark, TestSpark.Sf0001))
