@@ -3,10 +3,17 @@
 from Verify's oracle_sql.json in DuckDB over the sfDir parquet tables and
 compare (sorted columns, sorted rows) against the Spark parquet dump.
 
+BIT-EXACT: float columns are compared by their raw float64 bit patterns
+(so -0.0 != +0.0 and any ULP difference fails), matching the driver's
+hash-identity semantics. Round 1 shipped 5 hash failures because this
+script rounded to 9 decimals and used pandas value-equality, which masks
+negative zero.
+
 Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, os, json, glob
 import duckdb
+import numpy as np
 import pyarrow.parquet as pq
 import pandas as pd
 
@@ -20,12 +27,17 @@ with open(os.path.join(out_dir, "oracle_sql.json")) as f:
     oracles = json.load(f)
 
 def canon(df):
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    # normalize float noise at a grid well below our rounding scale
+    """Sorted columns, canonical row order, floats AS BIT PATTERNS."""
+    df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype.kind == "f":
-            df[c] = df[c].round(9)
+            # view the float64 bits as uint64 — bit-exact identity, the
+            # same equivalence the driver's value hash uses
+            df[c] = df[c].to_numpy(dtype="float64").view("u8")
+        elif df[c].dtype.kind == "M":
+            # normalize timestamp resolution before integer compare
+            df[c] = df[c].astype("datetime64[ns]").astype("int64")
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
 fail = 0
@@ -47,10 +59,10 @@ for name, sql in sorted(oracles.items()):
     if not eq:
         diff = (got != want) & ~(got.isna() & want.isna())
         bad = diff.any(axis=1)
-        print(f"[VALS] {name}: {bad.sum()} mismatched rows; first:")
+        print(f"[VALS] {name}: {bad.sum()} bit-mismatched rows; first:")
         print(pd.concat([got[bad].head(3).add_prefix("spark_"),
                          want[bad].head(3).add_prefix("duck_")], axis=1))
         fail += 1
     else:
-        print(f"[OK] {name}: {len(got)} rows match")
+        print(f"[OK] {name}: {len(got)} rows bit-identical")
 sys.exit(1 if fail else 0)

@@ -75,7 +75,7 @@ object Bench {
     * triggers codegen/JIT so cycle order doesn't bias the comparison.
     */
   private def cycle(cores: Int, corpusDir: String, warmupDir: String,
-      shards: Int): (Double, Double, Seq[Double]) = {
+      shards: Int): (Double, Double, Seq[Double], (Long, Long, Long)) = {
     val spark = mkSession(cores)
     try {
       val wix = java.nio.file.Files.createTempDirectory(s"graft-warm-$cores-").toString
@@ -96,7 +96,12 @@ object Bench {
       val perQuery = graft.queries.QuerySet.queries.map { q =>
         time(Wand.topK(spark, ix, Seq(1L), Seq(q)).collect().length)._1
       }
-      (buildSec, qTimes(qTimes.length / 2), perQuery)
+      // pruning counters over the whole batch (reference costdist/costblk)
+      val cost = Wand.topKWithMetrics(spark, ix, Seq(1L))._2
+        .collect().foldLeft((0L, 0L, 0L)) { (acc, r) =>
+          (acc._1 + r.getLong(1), acc._2 + r.getLong(2), acc._3 + r.getLong(3))
+        }
+      (buildSec, qTimes(qTimes.length / 2), perQuery, cost)
     } finally spark.stop()
   }
 
@@ -116,15 +121,15 @@ object Bench {
     // multi-executor cluster would not share)
     val levels = Seq(math.max(1, cores / 16), coresLo, cores).distinct
     val results = levels.map(c => c -> cycle(c, corpusDir, sfDir, shards = cores)).toMap
-    val (buildLo, wandLo, _) = results(coresLo)
-    val (buildHi, wandHi, perQuery) = results(cores)
+    val (buildLo, wandLo, _, _) = results(coresLo)
+    val (buildHi, wandHi, perQuery, wandCost) = results(cores)
     val pq = perQuery.sorted
     val p50 = pq(pq.length / 2)
     val p99 = pq(math.min(pq.length - 1, (pq.length * 99) / 100))
     val buildEff = buildLo / (buildHi * (cores.toDouble / coresLo))
     val queryEff = wandLo / (wandHi * (cores.toDouble / coresLo))
     // N → 4N at the bottom of the ladder (e.g. 2 → 8 cores)
-    val (buildL16, wandL16, _) = results(levels.head)
+    val (buildL16, wandL16, _, _) = results(levels.head)
     val buildEffLow = buildL16 / (buildLo * (coresLo.toDouble / levels.head))
 
     // ---- representative operator timings at fixture scale
@@ -132,7 +137,8 @@ object Bench {
     val opNames = Seq("q01_bm25_exact", "q02_bm25_topk_agg", "q03_bm25_wand",
       "q04_allknn", "q12_dedup_exact", "q13_jaccard_pairs", "q14_minhash_lsh",
       "q15_simhash", "q16_langid", "q17_quality", "q18_token_count",
-      "q19_fingerprint", "q21_ann_lsh", "q23_multimodal_meta", "q24_events_window")
+      "q19_fingerprint", "q21_ann_lsh", "q23_multimodal_meta", "q24_events_window",
+      "q32_sq_u4_knn", "q34_random_proj")
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     queries("index_build") = buildHi
     queries("wand_batch") = wandHi
@@ -157,6 +163,8 @@ object Bench {
         f""""wand_lo_sec":$wandLo%.3f,"wand_hi_sec":$wandHi%.3f,"build_efficiency":$buildEff%.3f,"query_efficiency":$queryEff%.3f,""" +
         f""""cores_base":${levels.head},"build_base_sec":$buildL16%.3f,"wand_base_sec":$wandL16%.3f,""" +
         f""""build_efficiency_base_to_lo":$buildEffLow%.3f},""" +
+        s""""wand_cost":{"docs_scored":${wandCost._1},"blocks_decoded":${wandCost._2},""" +
+        s""""blocks_skipped":${wandCost._3}},""" +
         f""""inflate":$Inflate,"bench_docs":$nDocs"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")

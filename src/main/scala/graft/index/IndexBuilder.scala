@@ -300,26 +300,37 @@ object IndexBuilder {
     val posts = loadPostings(spark, indexDir, inSnaps)
     val norms = loadNorms(spark, indexDir, inSnaps)
 
-    // decode → dl lookup per shard via cogroup (compressed rows shuffle, not entries)
+    // decode → dl lookup per shard via SORTED cogroup: Spark sorts each
+    // shard's segments by term inside the shuffle (sort-based, spills),
+    // so the merge streams ONE term's segments at a time — the same
+    // one-run-at-a-time discipline as sealRuns; never a whole shard in
+    // memory. (The dl sidecar map IS per-shard, but docs-per-shard is a
+    // build-time constant by the sharding policy — it does not grow
+    // with corpus size, unlike the postings set this used to hold.)
     val mergedPostings = posts.groupByKey(_.shard)
-      .cogroup(norms.groupByKey(_.shard)) { (shard, pIt, nIt) =>
+      .cogroupSorted(norms.groupByKey(_.shard))(col("term"))() { (shard, pIt, nIt) =>
         val dlMap = new java.util.HashMap[Long, Long]()
         nIt.foreach { nm =>
           val (ids, dls) = IndexFormat.decodeNorms(nm)
           var i = 0
           while (i < ids.length) { dlMap.put(ids(i), dls(i)); i += 1 }
         }
-        val byTerm = scala.collection.mutable.LinkedHashMap
-          .empty[String, ArrayBuffer[(Array[Long], Array[Long])]]
-        pIt.foreach { pl =>
-          byTerm.getOrElseUpdate(pl.term, new ArrayBuffer) += IndexFormat.decodeAll(pl)
-        }
-        byTerm.toSeq.sortBy(_._1).iterator.map { case (term, segs) =>
-          val all = segs.flatMap { case (ds, ts) => ds.zip(ts) }.sortBy(_._1)
-          val docIds = all.map(_._1).toArray
-          val tfs = all.map(_._2).toArray
-          val dls = docIds.map(d => dlMap.get(d))
-          IndexFormat.seal(shard, term, docIds, tfs, dls, avgdl)
+        val bit = pIt.buffered
+        new Iterator[PostingList] {
+          override def hasNext: Boolean = bit.hasNext
+          override def next(): PostingList = {
+            val term = bit.head.term
+            val segs = new ArrayBuffer[(Array[Long], Array[Long])]
+            while (bit.hasNext && bit.head.term == term)
+              segs += IndexFormat.decodeAll(bit.next())
+            // k-way merge of THIS term's segments (doc ranges of input
+            // snapshots may interleave arbitrarily → full sort by doc)
+            val all = segs.flatMap { case (ds, ts) => ds.zip(ts) }.sortBy(_._1)
+            val docIds = all.map(_._1).toArray
+            val tfs = all.map(_._2).toArray
+            val dls = docIds.map(d => dlMap.get(d))
+            IndexFormat.seal(shard, term, docIds, tfs, dls, avgdl)
+          }
         }
       }
     mergedPostings.write.mode(SaveMode.Overwrite)

@@ -39,8 +39,26 @@ object Wand {
 
   val RoundEps: Double = math.pow(10.0, -BM25.SCALE)
 
+  /** Per-query evaluation cost counters — the reference's
+    * `costdist`/`costblk` (/root/reference/src/pqueue/knnsorted.jl:10-13,
+    * incremented at /root/reference/src/sequential-exhaustive.jl:67 and
+    * /root/reference/src/searchgraph/beamsearch.jl:92-93): how many docs
+    * got a full BM25 evaluation, how many blocks were decoded, and how
+    * many blocks the θ-bound let the cursors jump over WITHOUT decoding
+    * — the direct observable of Block-Max WAND pruning effectiveness.
+    */
+  final class Costs {
+    var docsScored = 0L
+    var blocksDecoded = 0L
+    var blocksSkipped = 0L
+  }
+
+  /** Aggregated (query, shard)-level cost row emitted next to the hits. */
+  final case class WandRow(query_id: Int, doc_id: Long, score: Double,
+      is_cost: Boolean, docs_scored: Long, blocks_decoded: Long, blocks_skipped: Long)
+
   /** Posting-list cursor with block-skip seek. */
-  final class Cursor(val pl: PostingList, val idf: Double) {
+  final class Cursor(val pl: PostingList, val idf: Double, cost: Costs) {
     private var block = -1
     private var idx = 0
     private var docs: Array[Long] = _
@@ -50,6 +68,8 @@ object Wand {
     val maxContrib: Double = idf * pl.block_max_tfn.max
 
     private def loadBlock(b: Int): Unit = {
+      if (b > block + 1) cost.blocksSkipped += b - block - 1
+      cost.blocksDecoded += 1
       block = b
       val dt = IndexFormat.decodeBlock(pl, b)
       docs = dt._1; tfs = dt._2; idx = 0; curDoc = docs(0)
@@ -76,7 +96,7 @@ object Wand {
         var b = block + 1
         val nb = lasts.length
         while (b < nb && lasts(b) < target) b += 1
-        if (b >= nb) { exhausted = true; return }
+        if (b >= nb) { cost.blocksSkipped += nb - block - 1; exhausted = true; return }
         loadBlock(b)
       }
       while (docs(idx) < target) idx += 1
@@ -88,7 +108,7 @@ object Wand {
     * resolves a doc's length from the norms sidecar.
     */
   private[index] def wandQuery(cursors0: Array[Cursor], heap: TopK.State,
-      dlAt: Long => Long, avgdl: Double): Unit = {
+      dlAt: Long => Long, avgdl: Double, cost: Costs): Unit = {
     var cursors = cursors0.filter(!_.exhausted)
     val ord = Ordering.by((c: Cursor) => c.curDoc)
     while (cursors.nonEmpty) {
@@ -126,6 +146,7 @@ object Wand {
             c.next()
             j2 += 1
           }
+          cost.docsScored += 1
           TopK.insert(heap, pivotDoc, BM25.roundScore(s))
         } else {
           // skip to the nearest block boundary; docs in [pivotDoc, target)
@@ -151,37 +172,42 @@ object Wand {
     }
   }
 
-  /** All queries over one shard: local top-k hits per query. */
+  /** All queries over one shard: local top-k hits per query, plus one
+    * cost row per (query, shard) with the pruning counters.
+    */
   private[index] def evalShard(postings: Iterator[PostingList], norms: Iterator[DocNorms],
       queries: Seq[TermQuery], idfMap: Map[String, Double],
-      avgdl: Double): Iterator[(Int, Long, Double)] = {
+      avgdl: Double): Iterator[WandRow] = {
     val byTerm = scala.collection.mutable.HashMap.empty[String, ArrayBuffer[PostingList]]
     postings.foreach(pl => byTerm.getOrElseUpdate(pl.term, new ArrayBuffer) += pl)
     if (byTerm.isEmpty) return Iterator.empty
-    // merged sorted norms arrays (multi-segment shards concatenate disjoint ranges)
+    // merged sorted norms arrays: FULL sort by doc id — unmerged
+    // snapshots' doc ranges may interleave arbitrarily within a shard
+    // (mergeSnapshots contract), so head-sorted concatenation is not
+    // enough for the binary search below
     val segs = norms.map(IndexFormat.decodeNorms).toArray
-    val total = segs.map(_._1.length).sum
-    val nids = new Array[Long](total)
-    val ndls = new Array[Long](total)
-    var off = 0
-    segs.sortBy(s => if (s._1.isEmpty) Long.MaxValue else s._1.head).foreach { case (ids, dls) =>
-      System.arraycopy(ids, 0, nids, off, ids.length)
-      System.arraycopy(dls, 0, ndls, off, dls.length)
-      off += ids.length
-    }
+    val pairs = segs.iterator.flatMap { case (ids, dls) =>
+      ids.indices.iterator.map(i => (ids(i), dls(i)))
+    }.toArray.sortBy(_._1)
+    val nids = pairs.map(_._1)
+    val ndls = pairs.map(_._2)
     val dlAt: Long => Long = { doc =>
       val p = java.util.Arrays.binarySearch(nids, doc)
       require(p >= 0, s"doc $doc missing from norms sidecar")
       ndls(p)
     }
     queries.iterator.flatMap { q =>
+      val cost = new Costs
       val cursors = q.terms.distinct.flatMap(t =>
-        byTerm.getOrElse(t, ArrayBuffer.empty).map(pl => new Cursor(pl, idfMap(t)))).toArray
+        byTerm.getOrElse(t, ArrayBuffer.empty).map(pl => new Cursor(pl, idfMap(t), cost))).toArray
       if (cursors.isEmpty) Iterator.empty
       else {
         val heap = TopK.empty(q.k)
-        wandQuery(cursors, heap, dlAt, avgdl)
-        TopK.result(heap).iterator.map(h => (q.query_id, h.doc_id, h.score))
+        wandQuery(cursors, heap, dlAt, avgdl, cost)
+        TopK.result(heap).iterator.map(h =>
+          WandRow(q.query_id, h.doc_id, h.score, is_cost = false, 0L, 0L, 0L)) ++
+          Iterator.single(WandRow(q.query_id, -1L, 0.0, is_cost = true,
+            cost.docsScored, cost.blocksDecoded, cost.blocksSkipped))
       }
     }
   }
@@ -190,7 +216,17 @@ object Wand {
     * snapshots — cursors per segment, doc ranges disjoint per term).
     */
   def topK(spark: SparkSession, indexDir: String, snaps: Seq[Long],
-      queries: Seq[TermQuery] = QuerySet.queries): DataFrame = {
+      queries: Seq[TermQuery] = QuerySet.queries): DataFrame =
+    topKWithMetrics(spark, indexDir, snaps, queries)._1
+
+  /** [[topK]] plus the per-query cost metrics
+    * `(query_id, docs_scored, blocks_decoded, blocks_skipped)` summed
+    * over shards — the production observable for WAND pruning (the
+    * reference's `costdist`/`costblk`). Both DataFrames are lazy views
+    * of the same shard-eval plan; consuming both runs it twice.
+    */
+  def topKWithMetrics(spark: SparkSession, indexDir: String, snaps: Seq[Long],
+      queries: Seq[TermQuery] = QuerySet.queries): (DataFrame, DataFrame) = {
     import spark.implicits._
     val stats = IndexBuilder.loadStats(spark, indexDir, snaps)
     val nDocs = stats.map(_.n_docs).sum
@@ -216,15 +252,26 @@ object Wand {
         val (qs, idf, ad) = bc.value
         evalShard(pIt, nIt, qs, idf, ad)
       }
-    val merged = partial.groupByKey(_._1).flatMapGroups { (qid, hits) =>
-      val k = bc.value._1.find(_.query_id == qid).map(_.k).getOrElse(QuerySet.K)
-      val heap = hits.foldLeft(TopK.empty(k)) { case (h, (_, d, s)) => TopK.insert(h, d, s) }
-      TopK.result(heap).zipWithIndex.map { case (h, i) => QueryHit(qid, i + 1, h.doc_id, h.score) }
-    }
-    merged.toDF()
+    // NOT persisted: topK consumes only hits (one lazy pass); a metrics
+    // consumer pays an independent pass — callers that want both cheap
+    // should persist the inputs, not leak a cached Dataset per call
+    val merged = partial.filter(!_.is_cost)
+      .groupByKey(_.query_id).flatMapGroups { (qid, hits) =>
+        val k = bc.value._1.find(_.query_id == qid).map(_.k).getOrElse(QuerySet.K)
+        val heap = hits.foldLeft(TopK.empty(k)) { (h, r) => TopK.insert(h, r.doc_id, r.score) }
+        TopK.result(heap).zipWithIndex.map { case (h, i) => QueryHit(qid, i + 1, h.doc_id, h.score) }
+      }
+    val hitsDf = merged.toDF()
       .select(col("query_id").cast("int"), col("rnk").cast("int"),
         col("doc_id").cast("long"), col("score").cast("double"))
       .orderBy("query_id", "rnk")
+    val metricsDf = partial.filter(_.is_cost).toDF()
+      .groupBy(col("query_id").cast("int").as("query_id"))
+      .agg(sum("docs_scored").as("docs_scored"),
+        sum("blocks_decoded").as("blocks_decoded"),
+        sum("blocks_skipped").as("blocks_skipped"))
+      .orderBy("query_id")
+    (hitsDf, metricsDf)
   }
 
   /** Registry entry: build a fresh index for the sfDir corpus in a temp

@@ -48,24 +48,53 @@ object AnnOps {
     (table.toLong << 32) | code
   }
 
+  /** Mean bucket occupancy the code width is derived for: nbits =
+    * clamp(⌈log2(n / TargetBucket)⌉, 4, 24), so buckets hold ~32
+    * vectors NO MATTER the corpus size — at n=500 that is 4 bits (16
+    * buckets), at 10^9 it is 24 bits. Fixed widths (round 1) made
+    * bucket population grow linearly with n, degenerating the bucket
+    * join toward quadratic.
+    */
+  val TargetBucket = 32
+
+  /** Hard per-bucket cap on the INDEXED side (skew backstop): a bucket
+    * that still exceeds 4× the target occupancy (hyperplanes can't
+    * split identical/near-identical vectors) is deterministically
+    * truncated to its lowest vec_ids; the multi-table union recovers
+    * recall for the truncated tail.
+    */
+  val BucketCap = 4 * TargetBucket
+
+  private[operators] def deriveNbits(n: Long): Int =
+    math.min(24, math.max(4,
+      math.ceil(math.log(math.max(1L, n).toDouble / TargetBucket) / math.log(2.0)).toInt))
+
   /** Multi-table sign LSH: L independent tables of nbits hyperplanes;
     * candidates = bucket collisions in ANY table (union), exact
     * rescoring after. Weak-neighbor corpora (like this fixture's
     * near-orthogonal clusters) need many shallow tables — the same
     * recall/cost dial the reference tunes via `optimize_index!`
     * (/root/reference/src/opt.jl:139-235; see [[tunedIvf]]).
+    *
+    * nbits defaults to the corpus-derived width ([[TargetBucket]]);
+    * pass nbits > 0 to pin it.
     */
-  def annLsh(spark: SparkSession, sfDir: String, k: Int = 5, nbits: Int = 4,
+  def annLsh(spark: SparkSession, sfDir: String, k: Int = 5, nbits: Int = 0,
       tables: Int = 16): DataFrame = {
     import spark.implicits._
-    val coded = embDs(spark, sfDir).as[(Long, Seq[Double])]
+    val embds = embDs(spark, sfDir)
+    val bits = if (nbits > 0) nbits else deriveNbits(embds.count())
+    val coded = embds.as[(Long, Seq[Double])]
       .flatMap { case (id, e) =>
-        (0 until tables).map(t => (id, lshCode(e, t, nbits), e))
+        (0 until tables).map(t => (id, lshCode(e, t, bits), e))
       }.toDF("vec_id", "bucket", "emb")
     val probes = coded.select(col("vec_id").as("q_id"), col("bucket"),
       col("emb").as("q_emb"))
+    val wCap = Window.partitionBy("bucket").orderBy("vec_id")
+    val indexed = coded.withColumn("brn", row_number().over(wCap))
+      .filter(col("brn") <= BucketCap).drop("brn")
     val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("nbr_id").asc)
-    probes.join(coded.select(col("vec_id").as("nbr_id"), col("bucket"), col("emb")), "bucket")
+    probes.join(indexed.select(col("vec_id").as("nbr_id"), col("bucket"), col("emb")), "bucket")
       .select(col("q_id"), col("nbr_id"),
         VectorOps.distCol(col("q_emb"), col("emb")).as("dist"))
       .distinct()
@@ -76,9 +105,26 @@ object AnnOps {
       .orderBy("vec_id", "rnk")
   }
 
-  def annIvf(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 16,
-      nprobe: Int = 8): DataFrame = {
-    val cents = CentersOps.fft(spark, sfDir, nlist)
+  /** IVF cell count ~ √n (clamped): cells hold ~√n vectors, and the
+    * probe set is half the cells, so candidate work per query is
+    * O(√n·nprobe) instead of the fixed-16-cell O(n) of round 1. The
+    * 4096 clamp bounds the center-training driver loop ([[CentersOps.fft]]
+    * is one job per center); beyond it, train fft on a bounded SAMPLE of
+    * the corpus — cell assignment stays a broadcast join either way.
+    */
+  private[operators] def deriveNlist(n: Long): Int =
+    math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** nlist/nprobe default to corpus-derived values (nprobe = nlist/2,
+    * the recall/cost ratio the MinRecall tuner starts from); pass > 0
+    * to pin.
+    */
+  def annIvf(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 0,
+      nprobe: Int = 0): DataFrame = {
+    val nl = if (nlist > 0) nlist
+      else deriveNlist(Corpus.embeddings(spark, sfDir).count())
+    val np = if (nprobe > 0) nprobe else math.max(1, nl / 2)
+    val cents = CentersOps.fft(spark, sfDir, nl)
       .select("center_id").collect().map(_.getLong(0))
     val cembs = Corpus.embeddings(spark, sfDir)
       .filter(col("vec_id").isin(cents: _*))
@@ -91,7 +137,7 @@ object AnnOps {
         VectorOps.distCol(col("emb"), col("cemb")).as("cdist"))
       .withColumn("rn", row_number().over(wc))
     val data = assigned.filter(col("rn") === 1).select("vec_id", "emb", "cell")
-    val queries = assigned.filter(col("rn") <= nprobe)
+    val queries = assigned.filter(col("rn") <= np)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("nbr_id").asc)
     queries.join(data.select(col("vec_id").as("nbr_id"), col("emb"), col("cell")), "cell")
@@ -105,11 +151,82 @@ object AnnOps {
       .orderBy("vec_id", "rnk")
   }
 
-  /** Q17 `optimize_index!` (/root/reference/src/opt.jl:139-235) with a
-    * `MinRecall` goal (/root/reference/src/opt.jl:9-11): probe the
-    * hyperparameter ladder (nprobe doubling) against the exhaustive
-    * gold until macrorecall ≥ target, then answer with the cheapest
-    * passing configuration. Returns (nprobe, recall, result rows).
+  // ------------------------------------------------ optimize_index! goals
+
+  /** The reference's optimization-goal family
+    * (/root/reference/src/opt.jl:8-18).
+    */
+  sealed trait OptGoal
+  final case class MinRecallGoal(target: Double = 0.9) extends OptGoal
+  case object ParetoRecallGoal extends OptGoal
+  case object ParetoRadiusGoal extends OptGoal
+  final case class OptRadiusGoal(tol: Double = 0.1) extends OptGoal
+
+  /** One evaluated configuration: cost is the normalized probe work
+    * (nprobe/nlist — the fraction of cells each query visits, the
+    * analogue of `visited.mean / M`), radiusMean the mean covering
+    * radius over queries (`radius.mean`).
+    */
+  final case class IvfConfig(nprobe: Int, recall: Double, cost: Double, radiusMean: Double)
+
+  /** Evaluate the nprobe doubling ladder against the exhaustive gold —
+    * the measurement half of `optimize_index!`. Gold is O(n²) here
+    * because the fixture is small; at scale, sample the query set (the
+    * reference defaults to 64 random queries, opt.jl:148) so gold cost
+    * is O(numqueries·n).
+    */
+  def evalIvfLadder(spark: SparkSession, sfDir: String, k: Int = 5,
+      nlist: Int = 16): Seq[IvfConfig] = {
+    val gold = VectorOps.allKnn(spark, sfDir, k).cache()
+    val ladder = (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist).toSeq :+ nlist).distinct
+    val out = ladder.map { np =>
+      val got = annIvf(spark, sfDir, k, nlist, np).cache()
+      val r = macrorecall(gold, got, k)
+      val radius = got.groupBy("vec_id").agg(max("dist").as("cov"))
+        .agg(avg("cov")).head().getDouble(0)
+      got.unpersist()
+      IvfConfig(np, r, np.toDouble / nlist, radius)
+    }
+    gold.unpersist()
+    out
+  }
+
+  /** Q17 `optimize_index!` (/root/reference/src/opt.jl:139-235) with
+    * the full goal set — cost functions transcribed from
+    * /root/reference/src/opt.jl:189-206 (`_kfun(x) = 1 − 1/(1+x)`,
+    * opt.jl:94):
+    *  - MinRecall: cheapest config with recall ≥ target (configs below
+    *    target get loss 1 + (target − recall) — always worse than any
+    *    passing config, whose loss = cost ≤ 1);
+    *  - ParetoRecall: argmin cost² + (1−recall)²;
+    *  - ParetoRadius: argmin kfun(cost) + kfun(radius/maxRadius);
+    *  - OptRadius: argmin round(radius/maxRadius/tol), cost tie-break
+    *    (the reference's sort_by_best secondary sort, opt.jl:210-218).
+    * Ties always break toward the cheaper config.
+    */
+  def optimizeIvf(spark: SparkSession, sfDir: String, goal: OptGoal,
+      k: Int = 5, nlist: Int = 16): IvfConfig =
+    chooseConfig(evalIvfLadder(spark, sfDir, k, nlist), goal)
+
+  /** Pure selection half (separable so one measured ladder can answer
+    * several goals without re-running the queries).
+    */
+  def chooseConfig(configs: Seq[IvfConfig], goal: OptGoal): IvfConfig = {
+    val maxRadius = configs.map(_.radiusMean).max
+    def kfun(x: Double): Double = 1.0 - 1.0 / (1.0 + x)
+    def loss(c: IvfConfig): Double = goal match {
+      case MinRecallGoal(t) => if (c.recall < t) 1.0 + (t - c.recall) else c.cost
+      case ParetoRecallGoal => c.cost * c.cost + (1.0 - c.recall) * (1.0 - c.recall)
+      case ParetoRadiusGoal => kfun(c.cost) + kfun(c.radiusMean / maxRadius)
+      case OptRadiusGoal(tol) => math.round(c.radiusMean / maxRadius / tol).toDouble
+    }
+    configs.minBy(c => (loss(c), c.cost))
+  }
+
+  /** `optimize_index!` with a `MinRecall` goal and EARLY EXIT: probe
+    * the ladder (nprobe doubling) against the exhaustive gold until
+    * macrorecall ≥ target, then answer with the cheapest passing
+    * configuration. Returns (nprobe, recall, result rows).
     */
   def tunedIvf(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 16,
       target: Double = 0.9): (Int, Double, DataFrame) = {
@@ -156,21 +273,14 @@ object AnnOps {
   }
 
   def recallReportOracleSql(k: Int = 5): String =
-    s"""WITH p AS (
-       |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-       |         round(1.0 - list_dot_product(CAST(a.embedding AS DOUBLE[]),
-       |                                      CAST(b.embedding AS DOUBLE[])), 4) AS dist,
-       |         round(1.0 - list_dot_product(CAST(a.embedding[1:16] AS DOUBLE[]),
-       |                                      CAST(b.embedding[1:16] AS DOUBLE[])), 4) AS cheap_dist
-       |  FROM embeddings a, embeddings b
-       |), gold AS (
+    s"""WITH ${VectorOps.rerankPairsCteSql}, gold AS (
        |  SELECT vec_id, nbr_id FROM (
        |    SELECT vec_id, nbr_id,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, nbr_id ASC) AS rnk
-       |    FROM p) WHERE rnk <= $k
+       |    FROM cheap) WHERE rnk <= $k
        |), c1 AS (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cheap_dist ASC, nbr_id ASC) AS rn
-       |  FROM p
+       |  FROM cheap
        |), rr AS (
        |  SELECT vec_id, nbr_id FROM (
        |    SELECT vec_id, nbr_id,

@@ -6,10 +6,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequential-by-nature reference operators: farthest-first traversal
-  * and half-space proximal filtering. Neither is one SQL query (both
-  * are data-dependent loops), so they ship with ScalaTest invariant
-  * suites instead of DuckDB oracles — mirroring how the reference
-  * itself tests them by property (/root/reference/test/testfft.jl:5-13,
+  * and half-space proximal filtering. Both are data-dependent loops,
+  * but both are BOUNDED (k center picks; ≤ k1 candidates per center),
+  * so each also carries a DuckDB oracle — fft as a k-step unrolled CTE
+  * chain, hsp as a recursive CTE over a precomputed domination list —
+  * on top of the reference-style property suites
+  * (/root/reference/test/testfft.jl:5-13,
   * /root/reference/test/testhsp.jl:5-14).
   */
 object CentersOps {
@@ -74,6 +76,89 @@ object CentersOps {
         col("dist").cast("double"))
       .orderBy("vec_id")
   }
+
+  /** DuckDB oracle for [[fft]]: the k−1 selection steps unrolled as a
+    * CTE chain — d_i carries every point's distance to its nearest
+    * center among the first i picks, c_{i+1} is the argmax (ties →
+    * smallest id), exactly the driver loop's jobs.
+    */
+  def fftOracleSql(k: Int = 8): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |), d1 AS (
+        |  SELECT e.vec_id, round(1.0 - list_dot_product(e.emb, c.emb), 4) + 0.0 AS nd
+        |  FROM e, (SELECT emb FROM e WHERE vec_id = 0) c
+        |)""".stripMargin)
+    for (i <- 2 to k) {
+      sb.append(s""", c$i AS (
+        |  SELECT vec_id, nd FROM d${i - 1} ORDER BY nd DESC, vec_id ASC LIMIT 1
+        |)""".stripMargin)
+      if (i < k) sb.append(s""", d$i AS (
+        |  SELECT d.vec_id,
+        |         least(d.nd, round(1.0 - list_dot_product(e.emb, c.emb), 4) + 0.0) AS nd
+        |  FROM d${i - 1} d JOIN e USING (vec_id),
+        |       (SELECT e.emb FROM e JOIN c$i ON e.vec_id = c$i.vec_id) c
+        |)""".stripMargin)
+    }
+    sb.append("\nSELECT CAST(1 AS INTEGER) AS rnk, CAST(0 AS BIGINT) AS center_id, CAST(0.0 AS DOUBLE) AS sel_dist")
+    for (i <- 2 to k)
+      sb.append(s"\nUNION ALL SELECT CAST($i AS INTEGER), CAST(vec_id AS BIGINT), CAST(nd AS DOUBLE) FROM c$i")
+    sb.append("\nORDER BY rnk")
+    sb.toString
+  }
+
+  /** DuckDB oracle for [[hsp]]: per center, candidates in (dist, id)
+    * order; `dom(ci)` = the candidate set that would exclude ci if
+    * already kept (d(ci, cj) < d(center, ci), strict — the half-space
+    * test); the recursive CTE then replays the sequential scan carrying
+    * the kept list.
+    */
+  def hspOracleSql(k1: Int = 20): String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), cand AS (
+       |  SELECT * FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |           round(1.0 - list_dot_product(a.emb, b.emb), 4) + 0.0 AS dist,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY round(1.0 - list_dot_product(a.emb, b.emb), 4) + 0.0 ASC,
+       |                      b.vec_id ASC) AS rn
+       |    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |  ) WHERE rn <= $k1
+       |), cd AS (
+       |  SELECT x.a_id, x.b_id AS ci, y.b_id AS cj,
+       |         round(1.0 - list_dot_product(ex.emb, ey.emb), 4) + 0.0 AS dxy
+       |  FROM cand x JOIN cand y ON x.a_id = y.a_id AND x.b_id <> y.b_id
+       |  JOIN e ex ON ex.vec_id = x.b_id JOIN e ey ON ey.vec_id = y.b_id
+       |), dom AS (
+       |  SELECT c.a_id, c.b_id AS ci, list(cd.cj) AS doms
+       |  FROM cand c JOIN cd ON cd.a_id = c.a_id AND cd.ci = c.b_id
+       |  WHERE cd.dxy < c.dist
+       |  GROUP BY c.a_id, c.b_id
+       |), step AS (
+       |  SELECT a_id, 0 AS rn, CAST([] AS BIGINT[]) AS kept
+       |  FROM (SELECT DISTINCT a_id FROM cand)
+       |  UNION ALL
+       |  SELECT s.a_id, s.rn + 1,
+       |         CASE WHEN list_has_any(s.kept, COALESCE(d.doms, CAST([] AS BIGINT[])))
+       |              THEN s.kept ELSE list_append(s.kept, c.b_id) END
+       |  FROM step s
+       |  JOIN cand c ON c.a_id = s.a_id AND c.rn = s.rn + 1
+       |  LEFT JOIN dom d ON d.a_id = s.a_id AND d.ci = c.b_id
+       |), fin AS (
+       |  SELECT a_id, kept FROM step s
+       |  WHERE rn = (SELECT max(rn) FROM step s2 WHERE s2.a_id = s.a_id)
+       |), outp AS (
+       |  SELECT a_id, CAST(generate_subscripts(kept, 1) AS INTEGER) AS rnk,
+       |         unnest(kept) AS nbr_id
+       |  FROM fin
+       |)
+       |SELECT CAST(o.a_id AS BIGINT) AS vec_id, o.rnk,
+       |       CAST(o.nbr_id AS BIGINT) AS nbr_id, CAST(c.dist AS DOUBLE) AS dist
+       |FROM outp o JOIN cand c ON c.a_id = o.a_id AND c.b_id = o.nbr_id
+       |ORDER BY vec_id, rnk""".stripMargin
 
   private def centerVec(emb: DataFrame, id: Long): org.apache.spark.sql.Column = {
     val v = emb.filter(col("vec_id") === id).head().getSeq[Double](1)

@@ -52,7 +52,7 @@ object DistanceOps {
         round(l2(col("ea"), col("eb")), 4).cast("double").as("l2"),
         round(linf(col("ea"), col("eb")), 4).cast("double").as("linf"),
         round(l3(col("ea"), col("eb")), 4).cast("double").as("l3"),
-        round(lit(1.0) - VectorOps.dotCol(col("ea"), col("eb")), 4)
+        (round(lit(1.0) - VectorOps.dotCol(col("ea"), col("eb")), 4) + lit(0.0))
           .cast("double").as("normcosine"))
       .orderBy("i", "j")
   }
@@ -69,13 +69,28 @@ object DistanceOps {
       |  CAST(round(sqrt(list_sum([(ea[k] - eb[k]) * (ea[k] - eb[k]) FOR k IN range(1, len(ea) + 1)])), 4) AS DOUBLE) AS l2,
       |  CAST(round(list_max([abs(ea[k] - eb[k]) FOR k IN range(1, len(ea) + 1)]), 4) AS DOUBLE) AS linf,
       |  CAST(round(pow(list_sum([pow(abs(ea[k] - eb[k]), 3.0) FOR k IN range(1, len(ea) + 1)]), 1.0/3.0), 4) AS DOUBLE) AS l3,
-      |  CAST(round(1.0 - list_dot_product(ea, eb), 4) AS DOUBLE) AS normcosine
+      |  CAST(round(1.0 - list_dot_product(ea, eb), 4) + 0.0 AS DOUBLE) AS normcosine
       |FROM p ORDER BY i, j""".stripMargin
 
   /** Set + string distances over a deterministic documents pair sample:
-    * token-set Jaccard/Dice/intersection, Levenshtein and positional
-    * Hamming over the first 24 chars.
+    * token-set Jaccard/Dice/intersection, Rogers–Tanimoto and CosineSet
+    * (/root/reference/src/dist/sets.jl:102-168), Levenshtein, positional
+    * Hamming and CommonPrefix (/root/reference/src/dist/seqs.jl:10-35)
+    * over the first 24 chars.
+    *
+    * Hamming/CommonPrefix convention: positions beyond the SHORTER
+    * prefix are ignored in BOTH engines (`least(len(pa), len(pb))`);
+    * Spark's zip_with null-padding drops them, the oracle's range is
+    * pinned to the common length — symmetric and engine-identical for
+    * any text length.
     */
+  /** Universe size σ of the set Rogers–Tanimoto: the reference takes it
+    * as a constructor parameter (RogersTanimoto(σ),
+    * /root/reference/src/dist/sets.jl:102); we pin a corpus-safe
+    * constant ≥ any pair's union so ff = σ − |a∪b| stays non-negative.
+    */
+  val RtSigma = 4096
+
   def textDistances(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Corpus.documents(spark, sfDir)
       .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"),
@@ -85,20 +100,36 @@ object DistanceOps {
     val inter = size(array_intersect(array_distinct(col("ta")), array_distinct(col("tb"))))
     val na = size(array_distinct(col("ta")))
     val nb = size(array_distinct(col("tb")))
+    // Rogers–Tanimoto over sets: tt=|∩|, tf+ft=|aΔb|, ff=σ−|a∪b|
+    //   → 1 − (σ − na − nb + 2i) / (σ + na + nb − 2i)
+    val rt = lit(1.0) - (lit(RtSigma) - na - nb + lit(2) * inter) /
+      (lit(RtSigma) + na + nb - lit(2) * inter).cast("double")
+    // CommonPrefix (/root/reference/src/dist/seqs.jl:10-35): matching
+    // j-prefixes form exactly 1..cp, so counting them IS the prefix len
+    val cp = expr("size(filter(sequence(1, least(length(pa), length(pb))), " +
+      "j -> substring(pa, 1, j) = substring(pb, 1, j)))")
     a.crossJoin(b)
       .filter(col("i") < col("j") && pmod(col("i") * 17 + col("j"), lit(131)) === 0)
       .select(col("i").cast("long"), col("j").cast("long"),
         inter.cast("long").as("inter_size"),
         round(lit(1.0) - inter / (na + nb - inter), 4).cast("double").as("jaccard_dist"),
         round(lit(1.0) - lit(2.0) * inter / (na + nb), 4).cast("double").as("dice_dist"),
+        round(lit(1.0) - inter / greatest(na, nb).cast("double"), 4)
+          .cast("double").as("intersection_dist"),
+        round(rt, 4).cast("double").as("rt_dist"),
+        round(lit(1.0) - inter / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 4)
+          .cast("double").as("cosineset_dist"),
         levenshtein(col("pa"), col("pb")).cast("long").as("lev_prefix"),
         size(filter(zip_with(split(col("pa"), ""), split(col("pb"), ""),
-          (x, y) => x =!= y), v => v)).cast("long").as("hamming_prefix"))
+          (x, y) => x =!= y), v => v)).cast("long").as("hamming_prefix"),
+        cp.cast("long").as("common_prefix"),
+        round(lit(1.0) - cp / least(length(col("pa")), length(col("pb"))).cast("double"), 4)
+          .cast("double").as("cp_dist"))
       .orderBy("i", "j")
   }
 
   val textDistancesOracleSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id,
       |         list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks,
       |         substr(text, 1, 24) AS prefix
@@ -108,25 +139,41 @@ object DistanceOps {
       |         a.prefix AS pa, b.prefix AS pb
       |  FROM t a, t b
       |  WHERE a.doc_id < b.doc_id AND (a.doc_id * 17 + b.doc_id) % 131 = 0
+      |), m AS (
+      |  SELECT i, j, len(list_intersect(ta, tb)) AS i2,
+      |         len(ta) AS na, len(tb) AS nb, pa, pb,
+      |         len([k FOR k IN range(1, least(len(pa), len(pb)) + 1)
+      |              IF substr(pa, 1, k) = substr(pb, 1, k)]) AS cp
+      |  FROM p
       |)
       |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-      |  CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter_size,
-      |  CAST(round(1.0 - len(list_intersect(ta, tb)) /
-      |       (len(ta) + len(tb) - len(list_intersect(ta, tb))), 4) AS DOUBLE) AS jaccard_dist,
-      |  CAST(round(1.0 - 2.0 * len(list_intersect(ta, tb)) / (len(ta) + len(tb)), 4) AS DOUBLE) AS dice_dist,
+      |  CAST(i2 AS BIGINT) AS inter_size,
+      |  CAST(round(1.0 - i2 / (na + nb - i2), 4) AS DOUBLE) AS jaccard_dist,
+      |  CAST(round(1.0 - 2.0 * i2 / (na + nb), 4) AS DOUBLE) AS dice_dist,
+      |  CAST(round(1.0 - i2 / CAST(greatest(na, nb) AS DOUBLE), 4) AS DOUBLE) AS intersection_dist,
+      |  CAST(round(1.0 - ($RtSigma - na - nb + 2 * i2) /
+      |       CAST($RtSigma + na + nb - 2 * i2 AS DOUBLE), 4) AS DOUBLE) AS rt_dist,
+      |  CAST(round(1.0 - i2 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) AS DOUBLE) AS cosineset_dist,
       |  CAST(levenshtein(pa, pb) AS BIGINT) AS lev_prefix,
-      |  CAST(len([k FOR k IN range(1, len(pa) + 1) IF pa[k] <> pb[k]]) AS BIGINT) AS hamming_prefix
-      |FROM p ORDER BY i, j""".stripMargin
+      |  CAST(len([k FOR k IN range(1, least(len(pa), len(pb)) + 1) IF pa[k] <> pb[k]]) AS BIGINT) AS hamming_prefix,
+      |  CAST(cp AS BIGINT) AS common_prefix,
+      |  CAST(round(1.0 - cp / CAST(least(len(pa), len(pb)) AS DOUBLE), 4) AS DOUBLE) AS cp_dist
+      |FROM m ORDER BY i, j""".stripMargin
 
-  /** Q23 scalar quantization (/root/reference/src/sq/u8.jl:5-65 and
-    * global variant /root/reference/src/sq/gu8.jl:13-41): affine u8
-    * codes under GLOBAL (min, c) — `code = round((x - min) / c)`,
-    * dequant `x' = min + code·c` — then k-NN over DEQUANTIZED vectors
-    * (the `SQu8NormCosine` path). Quantization error makes this an
+  /** Q23 scalar quantization (/root/reference/src/sq/u8.jl:5-65,
+    * /root/reference/src/sq/u4.jl:68, /root/reference/src/sq/u2.jl:74,
+    * global variant /root/reference/src/sq/gu8.jl:13-41): affine codes
+    * under GLOBAL (min, c) with `levels` quantization steps —
+    * `code = round((x - min) / c)` ∈ [0, levels], dequant
+    * `x' = min + code·c` — then k-NN over DEQUANTIZED vectors (the
+    * `SQu8NormCosine` path). Quantization error makes this an
     * approximation of exact kNN; the ranking itself is exact over the
-    * codes, so the DuckDB oracle reproduces it bit-for-bit.
+    * codes, so the DuckDB oracle reproduces it bit-for-bit. The u8/u4/u2
+    * family only varies `levels` (255/15/3) — the bits-per-code storage
+    * dial for impact-quantized postings; [[SqPack]] covers the
+    * bit-packed storage round-trip.
     */
-  def sqU8Knn(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+  def sqKnn(spark: SparkSession, sfDir: String, levels: Int, k: Int = 5): DataFrame = {
     val emb = Corpus.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val mm = emb.select(
@@ -134,8 +181,8 @@ object DistanceOps {
     val q = emb.crossJoin(broadcast(mm))
       .select(col("vec_id"),
         transform(col("e"), x =>
-          round((x - col("lo")) / ((col("hi") - col("lo")) / 255.0), 0)).as("codes"),
-        col("lo"), ((col("hi") - col("lo")) / 255.0).as("c"))
+          round((x - col("lo")) / ((col("hi") - col("lo")) / levels.toDouble), 0)).as("codes"),
+        col("lo"), ((col("hi") - col("lo")) / levels.toDouble).as("c"))
     val deq = q.select(col("vec_id"),
       transform(col("codes"), v => col("lo") + v * col("c")).as("dq"))
     val a = deq.select(col("vec_id").as("i"), col("dq").as("da"))
@@ -143,7 +190,7 @@ object DistanceOps {
     val w = Window.partitionBy("i").orderBy(col("dist").asc, col("j").asc)
     a.crossJoin(b)
       .select(col("i"), col("j"),
-        round(lit(1.0) - VectorOps.dotCol(col("da"), col("db")), 4).as("dist"))
+        (round(lit(1.0) - VectorOps.dotCol(col("da"), col("db")), 4) + lit(0.0)).as("dist"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("i").cast("long").as("vec_id"), col("rnk").cast("int"),
@@ -151,11 +198,18 @@ object DistanceOps {
       .orderBy("vec_id", "rnk")
   }
 
-  def sqU8KnnOracleSql(k: Int = 5): String =
+  def sqU8Knn(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    sqKnn(spark, sfDir, levels = 255, k = k)
+  def sqU4Knn(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    sqKnn(spark, sfDir, levels = 15, k = k)
+  def sqU2Knn(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    sqKnn(spark, sfDir, levels = 3, k = k)
+
+  def sqKnnOracleSql(levels: Int, k: Int = 5): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |), mm AS (
-       |  SELECT min(lo) AS lo, (max(hi) - min(lo)) / 255.0 AS c
+       |  SELECT min(lo) AS lo, (max(hi) - min(lo)) / $levels.0 AS c
        |  FROM (SELECT list_min(e) AS lo, list_max(e) AS hi FROM e)
        |), dq AS (
        |  SELECT vec_id,
@@ -163,7 +217,7 @@ object DistanceOps {
        |  FROM e CROSS JOIN mm
        |), p AS (
        |  SELECT a.vec_id AS i, b.vec_id AS j,
-       |         round(1.0 - list_dot_product(a.d, b.d), 4) AS dist
+       |         round(1.0 - list_dot_product(a.d, b.d), 4) + 0.0 AS dist
        |  FROM dq a, dq b
        |), r AS (
        |  SELECT CAST(i AS BIGINT) AS vec_id,
@@ -173,4 +227,31 @@ object DistanceOps {
        |)
        |SELECT vec_id, rnk, nbr_id, dist FROM r WHERE rnk <= $k
        |ORDER BY vec_id, rnk""".stripMargin
+
+  def sqU8KnnOracleSql(k: Int = 5): String = sqKnnOracleSql(255, k)
+
+  /** Bit-packed code storage for the u4/u2 variants (the reference
+    * packs 2 codes/byte at u4, 4 codes/byte at u2 —
+    * /root/reference/src/sq/u4.jl:68, /root/reference/src/sq/u2.jl:74).
+    * Pure code-array ↔ byte-array transcoding; the kNN semantics above
+    * are over the dequantized values, packing only changes storage.
+    */
+  object SqPack {
+    def pack(codes: Array[Int], bits: Int): Array[Byte] = {
+      require(bits == 2 || bits == 4 || bits == 8)
+      val per = 8 / bits
+      val out = new Array[Byte]((codes.length + per - 1) / per)
+      var i = 0
+      while (i < codes.length) {
+        out(i / per) = (out(i / per) | ((codes(i) & ((1 << bits) - 1)) << ((i % per) * bits))).toByte
+        i += 1
+      }
+      out
+    }
+    def unpack(packed: Array[Byte], n: Int, bits: Int): Array[Int] = {
+      require(bits == 2 || bits == 4 || bits == 8)
+      val per = 8 / bits
+      Array.tabulate(n)(i => (((packed(i / per) & 0xff) >>> ((i % per) * bits)) & ((1 << bits) - 1)))
+    }
+  }
 }

@@ -54,21 +54,32 @@ object IndexExport {
       .orderBy("shard")
   }
 
+  /** Doc stats come from `documents` DIRECTLY (not the tokenized rows):
+    * the builder's manifest counts every doc via the norms sidecar,
+    * including dl=0 docs whose text tokenizes to empty — deriving the
+    * range from tok would silently drop those.
+    */
   def manifestExportOracleSql(numShards: Int = 4): String =
     s"""WITH ss AS (
        |  SELECT CAST((max(doc_id) + $numShards) // $numShards AS BIGINT) AS shard_size
        |  FROM documents
+       |), ds AS (
+       |  SELECT CAST(doc_id // ss.shard_size AS INTEGER) AS shard,
+       |         CAST(min(doc_id) AS BIGINT) AS min_doc,
+       |         CAST(max(doc_id) AS BIGINT) AS max_doc,
+       |         CAST(count(*) AS BIGINT) AS doc_count
+       |  FROM documents CROSS JOIN ss GROUP BY 1
        |), tok AS (
        |  SELECT doc_id, t.term
        |  FROM documents, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t(term)
+       |), tc AS (
+       |  SELECT CAST(doc_id // ss.shard_size AS INTEGER) AS shard,
+       |         CAST(count(DISTINCT term) AS BIGINT) AS term_count
+       |  FROM tok CROSS JOIN ss GROUP BY 1
        |)
-       |SELECT CAST(doc_id // ss.shard_size AS INTEGER) AS shard,
-       |       CAST(min(doc_id) AS BIGINT) AS min_doc,
-       |       CAST(max(doc_id) AS BIGINT) AS max_doc,
-       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count,
-       |       CAST(count(DISTINCT term) AS BIGINT) AS term_count
-       |FROM tok CROSS JOIN ss
-       |GROUP BY 1 ORDER BY shard""".stripMargin
+       |SELECT ds.shard, ds.min_doc, ds.max_doc, ds.doc_count,
+       |       CAST(COALESCE(tc.term_count, 0) AS BIGINT) AS term_count
+       |FROM ds LEFT JOIN tc USING (shard) ORDER BY shard""".stripMargin
 
   /** Q19 `PermutedSearchIndex` (/root/reference/src/permindex.jl:10-32):
     * run the search in a permuted id layout (here p(i) = maxId − i, a

@@ -28,18 +28,29 @@ import org.apache.spark.sql.functions._
   */
 object NearDupSeq {
 
+  /** @param filterBlocks the reference's `filterblocks` keyword
+    *   (/root/reference/src/neardup.jl:40, configs exercised at
+    *   /root/reference/test/testneardup.jl:5-56): when false, the
+    *   intra-block coverage pass is skipped — every candidate a prior
+    *   ACCEPTED center does not cover becomes a center itself, even if
+    *   an earlier element of its own block is within ε.
+    */
   def nearDupSeq(spark: SparkSession, sfDir: String, eps: Double = 0.65,
-      blockSize: Int = 128): DataFrame = {
+      blockSize: Int = 128, filterBlocks: Boolean = true): DataFrame = {
     import spark.implicits._
     val emb = Corpus.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .cache()
-    val ids = emb.select("vec_id").orderBy("vec_id").as[Long].collect()
+    // id RANGES from a 1-row agg — never the O(n) id list on the driver;
+    // blocks are id-range windows (≡ positional blocks on dense ids)
+    val mm = emb.agg(min("vec_id"), max("vec_id")).head()
+    val (minId, maxId) = (mm.getLong(0), mm.getLong(1))
     var accepted: DataFrame = null // (nn, nn_emb)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
 
-    ids.grouped(blockSize).foreach { block =>
-      val blockDf = emb.filter(col("vec_id").isin(block: _*))
+    (minId to maxId by blockSize).foreach { blockLo =>
+      val blockDf = emb.filter(col("vec_id") >= blockLo &&
+        col("vec_id") < blockLo + blockSize)
       // covered by a previously accepted center? nearest wins, ties → smallest id
       val (coveredIds, coveredRows) = if (accepted == null) (Set.empty[Long], Nil) else {
         val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("nn").asc)
@@ -62,7 +73,7 @@ object NearDupSeq {
         val e = embSeq.toArray
         var bestId = -1L
         var bestDist = Double.MaxValue
-        blockAccepted.foreach { case (aid, aemb) =>
+        if (filterBlocks) blockAccepted.foreach { case (aid, aemb) =>
           var dot = 0.0
           var i = 0
           while (i < e.length) { dot += e(i) * aemb(i); i += 1 }

@@ -70,42 +70,87 @@ object TextOps {
       |FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
       |      FROM documents)""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs (J ≥ tau, a < b) through the
-    * inverted shingle join — the two-pointer `intersectionsize` kernel
-    * (/root/reference/src/dist/sets.jl:11-29) as a relational plan.
+  /** Document-frequency cap for the inverted shingle self-join: a
+    * shingle shared by B docs emits B² candidate pairs, so one hot
+    * boilerplate shingle ("click here to subscribe") makes the join
+    * quadratic at web scale. Shingles with df > cap are dropped BEFORE
+    * the join (standard near-dup practice; the oracle applies the same
+    * cap, so the gate still hash-matches). Recall trade: a true pair is
+    * missed only if ALL its shared shingles are boilerplate-hot — such
+    * pairs are template dupes, which MinHash (q14, uncapped
+    * verification) and exact dedup (q12) still cover. At fixture scale
+    * the cap is df-neutral for real near-dups (J ≥ 0.5 pairs share many
+    * rare shingles); at 10^12 docs set it as a fraction-of-corpus.
     */
-  def jaccardPairs(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame = {
+  val ShingleDfCap = 64
+
+  /** Exact n-gram Jaccard near-dup pairs (J ≥ tau, a < b): the
+    * df-capped inverted shingle join GENERATES candidates (see
+    * [[ShingleDfCap]]), then the emitted Jaccard is exact-verified over
+    * the FULL shingle sets — the two-pointer `intersectionsize` kernel
+    * (/root/reference/src/dist/sets.jl:11-29) as a relational plan.
+    * Emitted values are therefore true Jaccards; the cap only bounds
+    * which pairs can become candidates.
+    */
+  def jaccardPairs(spark: SparkSession, sfDir: String, tau: Double = 0.5,
+      dfCap: Int = ShingleDfCap): DataFrame = {
     val sh = docShingles(spark, sfDir)
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val pairs = inv.as("x").join(inv.as("y"), Seq("shingle"))
+    val invAll = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val rare = invAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("shingle")
+    val inv = invAll.join(rare, "shingle")
+    val cands = inv.as("x").join(inv.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
-      .select(col("a").cast("long"), col("b").cast("long"),
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 4)
-          .cast("double").as("jaccard"))
-      .filter(col("jaccard") >= tau)
-      .orderBy("a", "b")
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(cands, sh, tau).orderBy("a", "b")
   }
 
-  def jaccardPairsOracleSql(tau: Double = 0.5): String =
+  /** Exact-Jaccard verification of candidate (a, b) pairs against the
+    * full shingle sets (shared by [[jaccardPairs]] and [[minhashLsh]]).
+    */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, tau: Double): DataFrame =
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+      .select(col("a").cast("long"), col("b").cast("long"),
+        round(size(array_intersect(col("sa"), col("sb"))) /
+          (size(col("sa")) + size(col("sb")) -
+            size(array_intersect(col("sa"), col("sb")))), 4)
+          .cast("double").as("jaccard"))
+      .filter(col("jaccard") >= tau)
+
+  /** Oracle: candidate pairs through the SAME df-capped inverted join
+    * (or uncapped for the MinHash gate, whose banding is df-blind),
+    * Jaccard from the full shingle lists.
+    */
+  def jaccardPairsOracleSql(tau: Double = 0.5,
+      dfCap: Option[Int] = Some(ShingleDfCap)): String = {
+    val capFilter = dfCap
+      .map(c => s"WHERE shingle IN (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= $c)")
+      .getOrElse("")
     s"""WITH sh AS ($duckShinglesSql),
        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-       |pairs AS (
-       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |inv AS (SELECT doc_id, shingle FROM inv0 $capFilter),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-       |  GROUP BY x.doc_id, y.doc_id
+       |),
+       |pairs AS (
+       |  SELECT a, b,
+       |         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+       |         szA.n AS na, szB.n AS nb
+       |  FROM cands
+       |  JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+       |  JOIN sizes szA ON szA.doc_id = a JOIN sizes szB ON szB.doc_id = b
        |)
        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
-       |       CAST(round(inter / (sa.n + sb.n - inter), 4) AS DOUBLE) AS jaccard
-       |FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-       |WHERE round(inter / (sa.n + sb.n - inter), 4) >= $tau
+       |       CAST(round(inter / (na + nb - inter), 4) AS DOUBLE) AS jaccard
+       |FROM pairs
+       |WHERE round(inter / (na + nb - inter), 4) >= $tau
        |ORDER BY a, b""".stripMargin
+  }
 
   // ---------------------------------------------------------------- minhash LSH
 
@@ -144,59 +189,130 @@ object TextOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     // exact verification on the candidate pairs only
-    val shDf = docShingles(spark, sfDir)
-    val verified = cands
-      .join(shDf.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
-      .join(shDf.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
-      .select(col("a").cast("long"), col("b").cast("long"),
-        round(size(array_intersect(col("sa"), col("sb"))) /
-          (size(col("sa")) + size(col("sb")) -
-            size(array_intersect(col("sa"), col("sb")))), 4)
-          .cast("double").as("jaccard"))
-      .filter(col("jaccard") >= tau)
-    verified.orderBy("a", "b")
+    verifyJaccard(cands, docShingles(spark, sfDir), tau).orderBy("a", "b")
   }
 
   // ---------------------------------------------------------------- simhash
 
-  /** SimHash near-dup: 64-bit tf-weighted signature, candidates via
-    * chunk banding with `maxHamming + 1` chunks (pigeonhole: ≤ h bit
-    * flips leave at least one of h+1 chunks intact — EXACT recall),
-    * exact hamming filter — the reference's bit-distance family
-    * (/root/reference/src/dist/bits.jl:18-29) as a sketch join.
+  /** Per-doc 64-bit SimHash signature as TWO 32-bit halves (hi, lo) —
+    * a PURE RELATIONAL plan: term hash = first/second 8 hex chars of
+    * md5(term) (identical built-in in both engines), bit b's vote is
+    * the tf-weighted ±1 sum, signature bit = vote > 0. Halves keep all
+    * arithmetic inside signed-64 non-overflow range on both engines.
+    * Explode factor is 32 bit-rows per (doc, term) — a linear,
+    * shuffle-friendly map cost paid once per corpus.
+    */
+  def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = docs(spark, sfDir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val hashed = tf.select(col("doc_id"), col("tf"),
+      conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long").as("hi"),
+      conv(substring(md5(col("term")), 9, 8), 16, 10).cast("long").as("lo"))
+    hashed
+      .select(col("doc_id"), col("tf"), col("hi"), col("lo"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(expr("tf * (2 * (shiftright(lo, b) & 1) - 1)")).as("s_lo"),
+        sum(expr("tf * (2 * (shiftright(hi, b) & 1) - 1)")).as("s_hi"))
+      .groupBy("doc_id")
+      .agg(sum(expr("IF(s_lo > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))")).as("sig_lo"),
+        sum(expr("IF(s_hi > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))")).as("sig_hi"))
+  }
+
+  /** DuckDB fragment mirroring [[simhashSigs]]: (doc_id, sig_hi, sig_lo). */
+  private val duckSimhashSigsSql: String =
+    """SELECT doc_id,
+      |  sum(CASE WHEN s_hi > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig_hi,
+      |  sum(CASE WHEN s_lo > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig_lo
+      |FROM (
+      |  SELECT doc_id, b,
+      |    sum(tf * (2 * ((lo >> b) & 1) - 1)) AS s_lo,
+      |    sum(tf * (2 * ((hi >> b) & 1) - 1)) AS s_hi
+      |  FROM (
+      |    SELECT doc_id, tf,
+      |      ('0x' || substr(md5(term), 1, 8))::BIGINT AS hi,
+      |      ('0x' || substr(md5(term), 9, 8))::BIGINT AS lo
+      |    FROM (
+      |      SELECT doc_id, t.term, count(*) AS tf
+      |      FROM documents, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t(term)
+      |      GROUP BY doc_id, t.term
+      |    )
+      |  ), range(0, 32) r(b)
+      |  GROUP BY doc_id, b
+      |)
+      |GROUP BY doc_id""".stripMargin
+
+  /** SimHash near-dup: candidates via chunk banding with `maxHamming+1`
+    * 16-bit chunks (pigeonhole: ≤ h bit flips leave at least one of h+1
+    * chunks intact — EXACT recall), exact Hamming filter, plus the
+    * reference's bit-distance family over the signatures: Hamming,
+    * RogersTanimoto `1 − (tt+ff)/(tt+ff+2(tf+ft))`, RussellRao
+    * `1 − tt/n` (/root/reference/src/dist/bits.jl:18-79). The oracle is
+    * the unbanded n² form — the gate proves the banding loses nothing.
     */
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
-    import spark.implicits._
     require(maxHamming >= 0 && maxHamming < 64)
-    val sigs = docs(spark, sfDir)
-      .select(col("doc_id"), toks.as("t"))
-      .as[(Long, Seq[String])]
-      .map { case (id, ts) =>
-        val tf = ts.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
-        (id, TextHash.simhash64(tf))
-      }.toDF("doc_id", "sig")
+    val sigs = simhashSigs(spark, sfDir)
+    // chunk c covers logical bits [c·64/(h+1), (c+1)·64/(h+1)) of the
+    // 64-bit signature; bits 0..31 live in sig_lo, 32..63 in sig_hi —
+    // a chunk spanning the boundary stitches both halves
     val nChunks = maxHamming + 1
     val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
-    val chunks = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until nChunks).map { c =>
-        val lo = bounds(c)
-        val width = bounds(c + 1) - lo
-        val mask = if (width == 64) -1L else (1L << width) - 1L
-        struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("sig"), lo).bitwiseAND(mask).as("v"))
-      }: _*)).as("ck"))
-      .select(col("doc_id"), col("sig"), col("ck.chunk"), col("ck.v"))
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1L
+    val chunkCols = (0 until nChunks).map { c =>
+      val s = bounds(c)
+      val e = bounds(c + 1)
+      val loBits = math.max(0, math.min(e, 32) - s)
+      val hiBits = math.max(0, e - math.max(s, 32))
+      val loPart = if (loBits > 0)
+        Some(shiftrightunsigned(col("sig_lo"), s).bitwiseAND(lit(mask(loBits)))) else None
+      val hiPart = if (hiBits > 0)
+        Some(shiftrightunsigned(col("sig_hi"), math.max(s, 32) - 32)
+          .bitwiseAND(lit(mask(hiBits)))) else None
+      val v = (loPart, hiPart) match {
+        case (Some(l), Some(h)) => l.bitwiseOR(shiftleft(h, loBits))
+        case (Some(l), None) => l
+        case (None, Some(h)) => h
+        case _ => lit(0L)
+      }
+      struct(lit(c).as("chunk"), v.as("v"))
+    }
+    val chunks = sigs.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+      explode(array(chunkCols: _*)).as("ck"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"), col("ck.chunk"), col("ck.v"))
     val cands = chunks.as("x").join(chunks.as("y"), Seq("chunk", "v"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("x.sig").as("siga"),
-        col("y.doc_id").as("b"), col("y.sig").as("sigb"))
+      .select(col("x.doc_id").as("a"), col("x.sig_hi").as("ha"), col("x.sig_lo").as("la"),
+        col("y.doc_id").as("b"), col("y.sig_hi").as("hb"), col("y.sig_lo").as("lb"))
       .distinct()
+    val h = (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+      bit_count(col("la").bitwiseXOR(col("lb")))).cast("int")
+    val tt = bit_count(col("ha").bitwiseAND(col("hb"))) +
+      bit_count(col("la").bitwiseAND(col("lb")))
     cands
       .select(col("a").cast("long"), col("b").cast("long"),
-        bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("int").as("hamming"))
+        h.as("hamming"),
+        round(lit(1.0) - (lit(64) - h) / (lit(64) + h).cast("double"), 4)
+          .cast("double").as("rt_bits"),
+        round(lit(1.0) - tt / lit(64.0), 4).cast("double").as("rr_bits"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("a", "b")
   }
+
+  def simhashPairsOracleSql(maxHamming: Int = 3): String =
+    s"""WITH sigs AS ($duckSimhashSigsSql),
+       |p AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |         bit_count(xor(x.sig_hi, y.sig_hi)) + bit_count(xor(x.sig_lo, y.sig_lo)) AS h,
+       |         bit_count(x.sig_hi & y.sig_hi) + bit_count(x.sig_lo & y.sig_lo) AS tt
+       |  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+       |)
+       |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       |       CAST(h AS INTEGER) AS hamming,
+       |       CAST(round(1.0 - (64 - h) / CAST(64 + h AS DOUBLE), 4) AS DOUBLE) AS rt_bits,
+       |       CAST(round(1.0 - tt / 64.0, 4) AS DOUBLE) AS rr_bits
+       |FROM p WHERE h <= $maxHamming ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------- language id
 

@@ -31,9 +31,18 @@ object VectorOps {
     */
   def dotCol(a: Column, b: Column): Column = graft.functions.DotF64.dot(a, b)
 
-  /** NormCosine distance, rounded at the output grid. */
+  /** NormCosine distance, rounded at the output grid.
+    *
+    * `+ 0.0` normalizes IEEE negative zero: for self/duplicate pairs the
+    * double dot of unit vectors can exceed 1.0 by ~1e-8, so the rounded
+    * distance is −0.0 in engines that round in binary (DuckDB) but +0.0
+    * in engines that round through decimal strings (Spark's BigDecimal).
+    * −0.0 + 0.0 = +0.0 in IEEE 754, so BOTH engines emit the same bit
+    * pattern and the driver's hash-identity gate holds (round-1 failure
+    * on q04/q06/q10/q25/q29; every oracle SQL mirrors the `+ 0.0`).
+    */
   def distCol(a: Column, b: Column): Column =
-    round(lit(1.0) - dotCol(a, b), 4)
+    round(lit(1.0) - dotCol(a, b), 4) + lit(0.0)
 
   private def emb(spark: SparkSession, sfDir: String, alias: String): DataFrame =
     Corpus.embeddings(spark, sfDir)
@@ -62,7 +71,7 @@ object VectorOps {
     s"""WITH p AS (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
        |         round(1.0 - list_dot_product(CAST(a.embedding AS DOUBLE[]),
-       |                                      CAST(b.embedding AS DOUBLE[])), 4) AS dist
+       |                                      CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS dist
        |  FROM embeddings a, embeddings b
        |), r AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -90,17 +99,23 @@ object VectorOps {
   val closestPairOracleSql: String =
     """SELECT CAST(a.vec_id AS BIGINT) AS i, CAST(b.vec_id AS BIGINT) AS j,
       |       CAST(round(1.0 - list_dot_product(CAST(a.embedding AS DOUBLE[]),
-      |                                         CAST(b.embedding AS DOUBLE[])), 4) AS DOUBLE) AS dist
+      |                                         CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS DOUBLE) AS dist
       |FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
       |ORDER BY dist ASC, i ASC, j ASC LIMIT 1""".stripMargin
 
-  /** Q10 `neardup` (/root/reference/src/neardup.jl:40-118) in its
-    * order-free formulation: every vector is covered by the EARLIEST
-    * (smallest id) vector within ε — the fixed point of the
-    * reference's block-sequential acceptance when blocks are singleton
-    * and scanned in id order. Invariants preserved verbatim from
-    * /root/reference/test/testneardup.jl:14-16: all dist ≤ ε;
-    * sort(map) == sort(unique(nn)).
+  /** Q10 `neardup`-family TRANSITIVE-CHAIN variant: every vector is
+    * covered by the EARLIEST (smallest id) vector within ε among all
+    * ids ≤ its own. This is deliberately NOT the reference's sequential
+    * acceptance (/root/reference/src/neardup.jl:40-118), which only
+    * lets previously-ACCEPTED centers cover later elements — in a chain
+    * d(0,1)≤ε, d(1,2)≤ε, d(0,2)>ε the reference makes 2 a new center
+    * while this maps 2→1. The reference-faithful form is
+    * [[NearDupSeq.nearDupSeq]] (q11); this order-free variant exists
+    * because it is one shuffle-free relational plan (and hence
+    * DuckDB-oracled), at the cost of the reference's
+    * sort(map)==sort(unique(nn)) invariant, which holds only for the
+    * sequential form. Guaranteed here: all dist ≤ ε; nn ≤ vec_id;
+    * nn(nn) may itself be covered (chains are not collapsed).
     */
   def nearDup(spark: SparkSession, sfDir: String, eps: Double = 0.65): DataFrame = {
     val a = emb(spark, sfDir, "a")
@@ -121,7 +136,7 @@ object VectorOps {
     s"""WITH p AS (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS cand,
        |         round(1.0 - list_dot_product(CAST(a.embedding AS DOUBLE[]),
-       |                                      CAST(b.embedding AS DOUBLE[])), 4) AS dist
+       |                                      CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS dist
        |  FROM embeddings a, embeddings b
        |  WHERE b.vec_id <= a.vec_id
        |), f AS (
@@ -150,37 +165,53 @@ object VectorOps {
     sample.agg(percentile(col("dist"), lit(qs.toArray)).as("q"))
       .select(posexplode(col("q")))
       .select(col("pos").cast("int").as("quantile_idx"),
-        round(col("col"), 4).cast("double").as("dist"))
+        (round(col("col"), 4) + lit(0.0)).cast("double").as("dist"))
       .orderBy("quantile_idx")
   }
 
   val distSampleOracleSql: String =
     """WITH s AS (
       |  SELECT round(1.0 - list_dot_product(CAST(a.embedding AS DOUBLE[]),
-      |                                      CAST(b.embedding AS DOUBLE[])), 4) AS dist
+      |                                      CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS dist
       |  FROM embeddings a, embeddings b
       |  WHERE a.vec_id < b.vec_id AND (a.vec_id * 31 + b.vec_id) % 97 = 0
       |), q AS (
       |  SELECT CAST(quantile_cont(dist, [0.1, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE[]) AS qs FROM s
       |)
       |SELECT CAST(i - 1 AS INTEGER) AS quantile_idx,
-      |       CAST(round(qs[i], 4) AS DOUBLE) AS dist
+      |       CAST(round(qs[i], 4) + 0.0 AS DOUBLE) AS dist
       |FROM q, range(1, 6) r(i) ORDER BY quantile_idx""".stripMargin
 
+  /** Projected-space dimensionality of the rerank first pass. */
+  val ProjDim = 16
+  /** Embedding dimensionality of the `embeddings` fixture. */
+  val EmbDim = 64
+
+  /** Squared L2 between two equal-length double arrays, accumulated
+    * left-to-right (matches DuckDB `list_sum` over a comprehension).
+    */
+  private def sqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Q13 `rerank!` (/root/reference/src/rerank.jl:5-36): two-phase
-    * retrieval — cheap first pass (dot over the first 16 dims, a
-    * projection proxy) keeps `k1` candidates, exact NormCosine rescores
-    * and keeps `k`. First-pass ties broken by id; the final ordering is
-    * by the EXACT metric.
+    * retrieval — the cheap first pass is a TRUE Gaussian random
+    * projection ([[graft.functions.RandomProj]], the reference's
+    * /root/reference/src/special/proj.jl:13-70) to [[ProjDim]] dims,
+    * applied MAP-SIDE before the pair join (n·p·d work, never n²·d);
+    * pairs rank by squared L2 in projected space keeping `k1`, exact
+    * NormCosine rescores and keeps `k`. First-pass ties broken by id;
+    * the final ordering is by the EXACT metric.
     */
   def rerank(spark: SparkSession, sfDir: String, k1: Int = 20, k: Int = 5): DataFrame = {
     val a = emb(spark, sfDir, "a")
+      .withColumn("a_p", graft.functions.RandomProj.projCol(col("a_emb"), ProjDim, EmbDim))
     val b = emb(spark, sfDir, "b")
+      .withColumn("b_p", graft.functions.RandomProj.projCol(col("b_emb"), ProjDim, EmbDim))
     val cheap = a.crossJoin(b)
       .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
         col("a_emb"), col("b_emb"),
-        round(lit(1.0) - dotCol(slice(col("a_emb"), 1, 16), slice(col("b_emb"), 1, 16)), 4)
-          .as("cheap_dist"))
+        round(sqL2(col("a_p"), col("b_p")), 4).as("cheap_dist"))
     val w1 = Window.partitionBy("vec_id").orderBy(col("cheap_dist").asc, col("nbr_id").asc)
     val cands = cheap.withColumn("rn", row_number().over(w1)).filter(col("rn") <= k1)
     val w2 = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("nbr_id").asc)
@@ -194,15 +225,27 @@ object VectorOps {
       .orderBy("vec_id", "rnk")
   }
 
-  def rerankOracleSql(k1: Int = 20, k: Int = 5): String =
-    s"""WITH cheap AS (
+  /** DuckDB CTE prefix shared by the rerank-shaped oracles: per-vector
+    * projection (same literal matrix as the Spark plan) + all pair
+    * distances in cheap (projected sq-L2) and exact (NormCosine) space.
+    */
+  private[operators] def rerankPairsCteSql: String = {
+    val proj = graft.functions.RandomProj.duckProjSql("emb", ProjDim, EmbDim)
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), pr AS (
+       |  SELECT vec_id, emb, $proj AS p FROM e
+       |), cheap AS (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-       |         round(1.0 - list_dot_product(CAST(a.embedding[1:16] AS DOUBLE[]),
-       |                                      CAST(b.embedding[1:16] AS DOUBLE[])), 4) AS cheap_dist,
-       |         round(1.0 - list_dot_product(CAST(a.embedding AS DOUBLE[]),
-       |                                      CAST(b.embedding AS DOUBLE[])), 4) AS dist
-       |  FROM embeddings a, embeddings b
-       |), c1 AS (
+       |         round(list_sum([(a.p[k] - b.p[k]) * (a.p[k] - b.p[k])
+       |                         FOR k IN range(1, ${ProjDim + 1})]), 4) AS cheap_dist,
+       |         round(1.0 - list_dot_product(a.emb, b.emb), 4) + 0.0 AS dist
+       |  FROM pr a, pr b
+       |)""".stripMargin
+  }
+
+  def rerankOracleSql(k1: Int = 20, k: Int = 5): String =
+    s"""WITH $rerankPairsCteSql, c1 AS (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cheap_dist ASC, nbr_id ASC) AS rn
        |  FROM cheap
        |), c2 AS (
@@ -213,4 +256,29 @@ object VectorOps {
        |)
        |SELECT vec_id, rnk, nbr_id, dist FROM c2 WHERE rnk <= $k
        |ORDER BY vec_id, rnk""".stripMargin
+
+  /** The projection itself as a registry query (one row per (vector,
+    * output dim)) — pins the Gaussian matrix + dot accumulation against
+    * the DuckDB oracle, so rerank's first pass is oracle-checked in
+    * isolation too.
+    */
+  def randomProj(spark: SparkSession, sfDir: String): DataFrame =
+    Corpus.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(graft.functions.RandomProj.projCol(col("embedding"), ProjDim, EmbDim)))
+      .select(col("vec_id").cast("long"), col("pos").cast("int").as("dim"),
+        (round(col("col"), 4) + lit(0.0)).cast("double").as("val"))
+      .orderBy("vec_id", "dim")
+
+  def randomProjOracleSql: String = {
+    val proj = graft.functions.RandomProj.duckProjSql("emb", ProjDim, EmbDim)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), pr AS (
+       |  SELECT vec_id, $proj AS p FROM e
+       |)
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(k - 1 AS INTEGER) AS dim,
+       |       CAST(round(p[k], 4) + 0.0 AS DOUBLE) AS val
+       |FROM pr, range(1, ${ProjDim + 1}) r(k) ORDER BY vec_id, dim""".stripMargin
+  }
 }

@@ -42,7 +42,10 @@ object Registry {
     "q28_text_distances" -> ((s, dir) => graft.operators.DistanceOps.textDistances(s, dir)),
     "q29_sq_u8_knn" -> ((s, dir) => graft.operators.DistanceOps.sqU8Knn(s, dir)),
     "q30_sessionize" -> ((s, dir) => graft.operators.StreamingOps.sessionize(s, dir)),
-    "q31_manifest" -> ((s, dir) => graft.operators.IndexExport.manifestExport(s, dir))
+    "q31_manifest" -> ((s, dir) => graft.operators.IndexExport.manifestExport(s, dir)),
+    "q32_sq_u4_knn" -> ((s, dir) => graft.operators.DistanceOps.sqU4Knn(s, dir)),
+    "q33_sq_u2_knn" -> ((s, dir) => graft.operators.DistanceOps.sqU2Knn(s, dir)),
+    "q34_random_proj" -> ((s, dir) => graft.operators.VectorOps.randomProj(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -53,11 +56,15 @@ object Registry {
     "q04_allknn" -> graft.operators.VectorOps.allKnnOracleSql(),
     "q05_closestpair" -> graft.operators.VectorOps.closestPairOracleSql,
     "q06_neardup_embed" -> graft.operators.VectorOps.nearDupOracleSql(),
+    "q07_fft_centers" -> graft.operators.CentersOps.fftOracleSql(),
     "q08_distsample" -> graft.operators.VectorOps.distSampleOracleSql,
+    "q09_hsp" -> graft.operators.CentersOps.hspOracleSql(),
     "q10_rerank" -> graft.operators.VectorOps.rerankOracleSql(),
     "q12_dedup_exact" -> graft.operators.TextOps.dedupExactOracleSql,
     "q13_jaccard_pairs" -> graft.operators.TextOps.jaccardPairsOracleSql(),
-    "q14_minhash_lsh" -> graft.operators.TextOps.jaccardPairsOracleSql(),
+    // minhash banding is df-blind, so its gate is the UNCAPPED exact set
+    "q14_minhash_lsh" -> graft.operators.TextOps.jaccardPairsOracleSql(dfCap = None),
+    "q15_simhash" -> graft.operators.TextOps.simhashPairsOracleSql(),
     "q16_langid" -> graft.operators.TextOps.langIdOracleSql,
     "q17_quality" -> graft.operators.TextOps.qualityScoreOracleSql,
     "q18_token_count" -> graft.operators.TextOps.tokenCountOracleSql,
@@ -71,6 +78,9 @@ object Registry {
     "q28_text_distances" -> graft.operators.DistanceOps.textDistancesOracleSql,
     "q29_sq_u8_knn" -> graft.operators.DistanceOps.sqU8KnnOracleSql(),
     "q30_sessionize" -> graft.operators.StreamingOps.sessionizeOracleSql,
-    "q31_manifest" -> graft.operators.IndexExport.manifestExportOracleSql()
+    "q31_manifest" -> graft.operators.IndexExport.manifestExportOracleSql(),
+    "q32_sq_u4_knn" -> graft.operators.DistanceOps.sqKnnOracleSql(15),
+    "q33_sq_u2_knn" -> graft.operators.DistanceOps.sqKnnOracleSql(3),
+    "q34_random_proj" -> graft.operators.VectorOps.randomProjOracleSql
   )
 }

@@ -52,4 +52,35 @@ class AnnSpec extends AnyFunSuite {
       assert(AnnOps.macrorecall(gold, cheaper, k) < 0.9)
     }
   }
+
+  test("optimize_index! goal family: Pareto/radius goals pick frontier configs") {
+    val spark = TestSpark.spark
+    val ladder = AnnOps.evalIvfLadder(spark, dir, k, nlist = 16)
+    assert(ladder.nonEmpty && ladder.last.nprobe == 16)
+    // recall is non-decreasing in nprobe (more cells probed ⇒ superset candidates)
+    assert(ladder.map(_.recall).sliding(2).forall(p => p.head <= p.last + 1e-12))
+
+    // one measured ladder answers all goals (chooseConfig is pure, so
+    // the domination checks below see the exact same floats it saw)
+    val pr = AnnOps.chooseConfig(ladder, AnnOps.ParetoRecallGoal)
+    // argmin of cost²+(1−recall)² is Pareto-optimal: nothing may dominate it
+    assert(!ladder.exists(c => c.cost <= pr.cost && c.recall >= pr.recall &&
+      (c.cost < pr.cost || c.recall > pr.recall)), s"dominated ParetoRecall pick $pr")
+
+    val prad = AnnOps.chooseConfig(ladder, AnnOps.ParetoRadiusGoal)
+    assert(!ladder.exists(c => c.cost <= prad.cost && c.radiusMean <= prad.radiusMean &&
+      (c.cost < prad.cost || c.radiusMean < prad.radiusMean)),
+      s"dominated ParetoRadius pick $prad")
+
+    // MinRecall via the generalized loss agrees with the early-exit tuner
+    val mr = AnnOps.chooseConfig(ladder, AnnOps.MinRecallGoal(0.9))
+    val (np, r, _) = AnnOps.tunedIvf(spark, dir, k, nlist = 16, target = 0.9)
+    assert(mr.nprobe == np && mr.recall >= 0.9 && r >= 0.9)
+
+    // OptRadius: within the chosen radius bucket, nothing is cheaper
+    val or = AnnOps.chooseConfig(ladder, AnnOps.OptRadiusGoal(0.1))
+    val maxRad = ladder.map(_.radiusMean).max
+    def bucket(c: AnnOps.IvfConfig) = math.round(c.radiusMean / maxRad / 0.1)
+    assert(!ladder.exists(c => bucket(c) == bucket(or) && c.cost < or.cost))
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.analysis.SeqDist
+import graft.functions.RandomProj
+import graft.operators.DistanceOps.SqPack
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kernel-level suites for the pieces without a DuckDB oracle: LCS /
+  * common-prefix DP, SQ bit-packing round-trip, projection matrix
+  * determinism.
+  */
+class DistSpec extends AnyFunSuite {
+
+  test("LCS distance: golden values + metric sanity") {
+    // |a|+|b|-2·LCS (reference /root/reference/src/dist/seqs.jl:127-132)
+    assert(SeqDist.lcsDistance("", "") == 0)
+    assert(SeqDist.lcsDistance("abc", "abc") == 0)
+    assert(SeqDist.lcsDistance("abc", "") == 3)
+    assert(SeqDist.lcsDistance("abcde", "ace") == 2) // LCS=ace
+    assert(SeqDist.lcsDistance("xabx", "yaby") == 4) // LCS=ab
+    assert(SeqDist.lcsDistance("ab", "ba") == 2) // LCS=1
+    // symmetry + triangle spot-checks
+    val ws = Seq("spark", "shark", "sprocket", "", "park")
+    for (a <- ws; b <- ws) {
+      assert(SeqDist.lcsDistance(a, b) == SeqDist.lcsDistance(b, a))
+      assert(SeqDist.lcsDistance(a, b) >= math.abs(a.length - b.length))
+      for (c <- ws)
+        assert(SeqDist.lcsDistance(a, c) <=
+          SeqDist.lcsDistance(a, b) + SeqDist.lcsDistance(b, c))
+    }
+  }
+
+  test("common prefix golden values") {
+    assert(SeqDist.commonPrefix("", "x") == 0)
+    assert(SeqDist.commonPrefix("abc", "abd") == 2)
+    assert(SeqDist.commonPrefix("abc", "abc") == 3)
+    assert(SeqDist.commonPrefix("abcd", "ab") == 2)
+  }
+
+  test("SQ bit-packing round-trips u8/u4/u2 codes, 2 and 4 codes per byte") {
+    val rnd = new scala.util.Random(7)
+    for (bits <- Seq(2, 4, 8); n <- Seq(0, 1, 63, 64, 65)) {
+      val codes = Array.fill(n)(rnd.nextInt(1 << bits))
+      val packed = SqPack.pack(codes, bits)
+      assert(packed.length == (n * bits + 7) / 8)
+      assert(SqPack.unpack(packed, n, bits).sameElements(codes))
+    }
+  }
+
+  test("random projection matrix: deterministic, right shape, near-unit row scale") {
+    val m1 = RandomProj.matrix(16, 64)
+    val m2 = RandomProj.matrix(16, 64)
+    assert(m1.length == 16 && m1.forall(_.length == 64))
+    for (j <- 0 until 16; i <- 0 until 64)
+      assert(m1(j)(i) == m2(j)(i), "matrix must be bit-deterministic")
+    // rows are N(0, 1/outDim): squared norm of a row ≈ inDim/outDim = 4
+    val norms = m1.map(r => r.map(x => x * x).sum)
+    assert(norms.forall(n2 => n2 > 1.0 && n2 < 10.0), norms.mkString(","))
+    // distinct rows
+    assert(m1.map(_.toSeq).distinct.length == 16)
+  }
+}

@@ -128,6 +128,23 @@ class IndexSpec extends AnyFunSuite {
     assert(postingsKey(dir, 13L) == postingsKey(dir, 10L), "re-merge is a no-op")
   }
 
+  test("merge streams many terms per shard (sf0.01, 1 shard ⇒ full vocab in one task)") {
+    val spark = TestSpark.spark
+    // numShards = 1 forces EVERY term's segments through a single
+    // sorted-cogroup task — the case the streaming run-merge must
+    // handle one term at a time (the r1 LinkedHashMap held all of them)
+    val dir = tmp()
+    IndexBuilder.build(spark, TestSpark.Sf001, dir, 1, snapshotId = 1L,
+      docIdRange = Some((0L, 200L)))
+    IndexBuilder.build(spark, TestSpark.Sf001, dir, 1, snapshotId = 2L,
+      docIdRange = Some((200L, 1000000L)))
+    val full = tmp()
+    IndexBuilder.build(spark, TestSpark.Sf001, full, 1)
+    IndexBuilder.mergeSnapshots(spark, dir, Seq(1L, 2L), 20L, 1)
+    assert(postingsKey(dir, 20L) == postingsKey(full, 1L),
+      "single-shard many-term merge == direct build")
+  }
+
   /** Canonical content key of a snapshot's postings (order-free). */
   private def postingsKey(dir: String, snap: Long = 1L): Seq[(Int, String, Long, Long, String)] = {
     val spark = TestSpark.spark

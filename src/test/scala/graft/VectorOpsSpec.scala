@@ -54,6 +54,26 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("neardup filterblocks=false: intra-block coverage off ⇒ more (or equal) centers, invariants hold") {
+    val spark = TestSpark.spark
+    val eps = 0.65
+    val withFilter = graft.operators.NearDupSeq.nearDupSeq(spark, dir, eps, 64).cache()
+    val noFilter = graft.operators.NearDupSeq
+      .nearDupSeq(spark, dir, eps, 64, filterBlocks = false).cache()
+    assert(noFilter.count() == withFilter.count())
+    assert(noFilter.filter(col("dist") > eps).count() == 0)
+    // without the intra-block pass, block-internal dupes become centers
+    val cTrue = withFilter.filter(col("vec_id") === col("nn")).count()
+    val cFalse = noFilter.filter(col("vec_id") === col("nn")).count()
+    assert(cFalse >= cTrue, s"filterblocks=false centers $cFalse < $cTrue")
+    // sort(map) == sort(unique(nn)) holds in both modes
+    for (nd <- Seq(withFilter, noFilter)) {
+      val centers = nd.filter(col("vec_id") === col("nn")).select(col("nn"))
+      val covers = nd.select(col("nn")).distinct()
+      assert(covers.except(centers).count() == 0 && centers.except(covers).count() == 0)
+    }
+  }
+
   test("closestpair: i<j, dist matches allknn's best non-self pair") {
     val spark = TestSpark.spark
     val cp = VectorOps.closestPair(spark, dir).head()

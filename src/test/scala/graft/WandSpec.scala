@@ -73,6 +73,39 @@ class WandSpec extends AnyFunSuite {
     assert(wandBig == exactBig)
   }
 
+  test("cost metrics: selective query on multi-block lists skips > 0 blocks; one metrics row per query") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // synthetic corpus engineered so θ saturates early: 'needle' (df=4,
+    // idf≈7) sits in docs 100/200/300, and once k=3 needles fill the
+    // heap, θ ≫ maxContrib('hay'); the last needle at 4900 then forces
+    // the 'hay' cursor (universal term, ~39 blocks of 128) to SEEK
+    // across ~35 undecoded blocks — the skip the counters must observe.
+    // (The sf fixtures have no term rare enough: min df ≈ 250 ⇒ pivot
+    // gaps of ~20 docs never cross a 128-entry block boundary.)
+    val corpusDir = Files.createTempDirectory("graft-cost-corpus-").toString
+    val needles = Set(100L, 200L, 300L, 4900L)
+    val base = "hay wheat barley rye oat corn spelt millet"
+    (0L until 5000L).map(i => (i, if (needles(i)) s"needle $base" else base))
+      .toDF("doc_id", "text")
+      .repartition(4).write.parquet(s"$corpusDir/documents.parquet")
+    val d = Files.createTempDirectory("graft-wand-cost-").toString
+    IndexBuilder.build(spark, corpusDir, d, numShards = 1)
+    val qs = Seq(TermQuery(900, Seq("needle", "hay"), 3))
+    val (hits, metrics) = Wand.topKWithMetrics(spark, d, Seq(1L), qs)
+    val hitRows = hits.collect()
+    assert(hitRows.length == 3)
+    assert(hitRows.map(_.getLong(2)).toSet == Set(100L, 200L, 300L),
+      "tie rule keeps the three smallest needle ids")
+    val m = metrics.collect()
+    assert(m.length == 1 && m.head.getInt(0) == 900, "one metrics row per query")
+    val (scored, decoded, skipped) = (m.head.getLong(1), m.head.getLong(2), m.head.getLong(3))
+    info(s"docs_scored=$scored blocks_decoded=$decoded blocks_skipped=$skipped")
+    assert(scored > 0 && decoded > 0)
+    assert(skipped > 0, "Block-Max pruning never fired on a selective query")
+    assert(scored < 5000, s"pruning must not score the whole corpus (scored=$scored)")
+  }
+
   test("multi-snapshot (unmerged segments) query ≡ single-snapshot query") {
     val spark = TestSpark.spark
     val d = Files.createTempDirectory("graft-wand-multi-").toString
