@@ -52,10 +52,14 @@ object BM25 {
   def idfCol(nDocs: Column, df: Column): Column =
     log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5)))
 
+  /** Column form of the idf-independent tf normalization. */
+  def tfNormCol(tf: Column, dl: Column, avgdl: Column): Column =
+    (tf * lit(K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl))
+
   /** Column form of the full per-(term,doc) contribution. */
   def contributionCol(tf: Column, dl: Column, avgdl: Column, idfVal: Column): Column =
-    idfVal * (tf * lit(K1 + 1.0)) /
-      (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl))
+    idfVal * tfNormCol(tf, dl, avgdl)
 
   /** Round at the output boundary; matches DuckDB `round(x, 4)`. */
   def roundScoreCol(s: Column): Column = round(s, SCALE)

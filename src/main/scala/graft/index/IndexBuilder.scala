@@ -52,9 +52,13 @@ object IndexBuilder {
     def norms(snap: Long) = s"$root/norms/snap=$snap"
     def termstats(snap: Long) = s"$root/termstats/snap=$snap"
     def stats(snap: Long) = s"$root/stats/snap=$snap"
+    def hints(snap: Long) = s"$root/hints/snap=$snap"
     def manifest = s"$root/manifest"
     def metrics = s"$root/metrics"
   }
+
+  /** Hint fan-in per term (see the hints write in [[build]]). */
+  val HintsPerTerm = 8
 
   /** Build snapshot `snapshotId` over (optionally a doc_id subset of)
     * the corpus. `onlyShards` limits sealing to the given shards
@@ -94,15 +98,18 @@ object IndexBuilder {
     val shardSize = math.max(1L, (globalMax + numShards) / numShards)
     val shardCol = (col("doc_id") / shardSize).cast("int")
 
-    // ---- term frequencies: ONE aggregation for tf and dl
+    // ---- term frequencies: ONE aggregation for tf and dl, cached —
+    // both the seal pass and the hints pass read it, and recomputing
+    // means a second full tokenize of the corpus (the most expensive
+    // linear stage). MEMORY_AND_DISK: spills, never OOMs.
     val tf = Tokenizer.termFrequencies(docs)
       .select(shardCol.as("shard"), col("term"), col("doc_id"),
         col("tf").cast("long"), col("dl").cast("long"))
       .as[TermPosting]
-    val tfScoped = onlyShards match {
+    val tfScoped = (onlyShards match {
       case Some(ss) => tf.filter(p => ss.contains(p.shard))
       case None => tf
-    }
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- seal postings: sort-based, streaming per-run
     val sealedPostings = tfScoped
@@ -140,7 +147,33 @@ object IndexBuilder {
 
       Seq(SnapStats(snapshotId, nDocs, sumDl, avgdl, numShards, maxDoc)).toDS()
         .write.mode(SaveMode.Overwrite).parquet(paths.stats(snapshotId))
+
+      // ---- per-term hints sidecar: the reference's search-start hints
+      // (/root/reference/src/searchgraph/hints.jl:42-264) transferred to
+      // WAND as a θ warm-start — for each term, the H docs with the
+      // largest tf-normalization. At query time their partial scores
+      // lower-bound the k-th best BEFORE any posting decodes (Wand
+      // derives θ0 from them), so pruning fires from the first block.
+      // Raw (tf, dl) is stored, not tfn: a multi-snapshot query recomputes
+      // tfn under the MERGED avgdl, keeping the bound sound. Output is
+      // H rows/term — tiny vs the postings; one extra agg pass over tf.
+      val hw = org.apache.spark.sql.expressions.Window
+        .partitionBy("term")
+        .orderBy(col("tfn").desc, col("doc_id").asc)
+      // full-corpus source: the persisted tfScoped when it IS the full
+      // corpus; on a resume (onlyShards) fall back to the unscoped plan
+      // so the overwritten sidecar still covers every term
+      val hintSrc = if (onlyShards.isEmpty) tfScoped.toDF() else tf.toDF()
+      hintSrc
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          graft.functions.BM25.tfNormCol(col("tf"), col("dl"), lit(avgdl)).as("tfn"))
+        .withColumn("rn", row_number().over(hw))
+        .filter(col("rn") <= HintsPerTerm)
+        .select("term", "doc_id", "tf", "dl")
+        .write.mode(SaveMode.Overwrite).parquet(paths.hints(snapshotId))
     }
+
+    tfScoped.unpersist(blocking = false)
 
     // ---- lineage + metrics from the WRITTEN artifacts, then commit
     commitManifest(spark, paths, snapshotId, parentSnapshot, onlyShards)
@@ -357,6 +390,21 @@ object IndexBuilder {
 
     Seq(SnapStats(outSnap, nDocs, sumDl, avgdl, numShards, maxDoc)).toDS()
       .write.mode(SaveMode.Overwrite).parquet(paths.stats(outSnap))
+
+    // merged hints: union the inputs' H-per-term rows, re-top under the
+    // merged avgdl (any subset of docs is a sound θ0 witness set — the
+    // union just keeps the strongest H)
+    val hw = org.apache.spark.sql.expressions.Window
+      .partitionBy("term")
+      .orderBy(col("tfn").desc, col("doc_id").asc)
+    inSnaps.map(s => spark.read.parquet(paths.hints(s)))
+      .reduce(_ union _)
+      .withColumn("tfn",
+        graft.functions.BM25.tfNormCol(col("tf"), col("dl"), lit(avgdl)))
+      .withColumn("rn", row_number().over(hw))
+      .filter(col("rn") <= HintsPerTerm)
+      .select("term", "doc_id", "tf", "dl")
+      .write.mode(SaveMode.Overwrite).parquet(paths.hints(outSnap))
 
     commitManifest(spark, paths, outSnap, inSnaps.max, None)
   }

@@ -107,13 +107,20 @@ object Wand {
   /** One query's WAND over one shard's cursors; fills `heap`. `dlAt`
     * resolves a doc's length from the norms sidecar.
     */
+  /** @param theta0 a PROVEN lower bound on the k-th best ROUNDED score
+    *   (from the hints sidecar), or −∞. Sound because the k witness
+    *   docs behind it are ordinary corpus docs: their upper bounds are
+    *   ≥ their scores ≥ θ0 − eps, so the floor can never prune them —
+    *   it only lets pruning fire before the heap has filled.
+    */
   private[index] def wandQuery(cursors0: Array[Cursor], heap: TopK.State,
-      dlAt: Long => Long, avgdl: Double, cost: Costs): Unit = {
+      dlAt: Long => Long, avgdl: Double, cost: Costs,
+      theta0: Double = Double.NegativeInfinity): Unit = {
     var cursors = cursors0.filter(!_.exhausted)
     val ord = Ordering.by((c: Cursor) => c.curDoc)
     while (cursors.nonEmpty) {
       java.util.Arrays.sort(cursors, ord)
-      val thetaP = TopK.threshold(heap) - RoundEps
+      val thetaP = math.max(TopK.threshold(heap), theta0) - RoundEps
       var acc = 0.0
       var pivot = -1
       var i = 0
@@ -177,7 +184,7 @@ object Wand {
     */
   private[index] def evalShard(postings: Iterator[PostingList], norms: Iterator[DocNorms],
       queries: Seq[TermQuery], idfMap: Map[String, Double],
-      avgdl: Double): Iterator[WandRow] = {
+      avgdl: Double, theta0: Map[Int, Double] = Map.empty): Iterator[WandRow] = {
     val byTerm = scala.collection.mutable.HashMap.empty[String, ArrayBuffer[PostingList]]
     postings.foreach(pl => byTerm.getOrElseUpdate(pl.term, new ArrayBuffer) += pl)
     if (byTerm.isEmpty) return Iterator.empty
@@ -203,7 +210,8 @@ object Wand {
       if (cursors.isEmpty) Iterator.empty
       else {
         val heap = TopK.empty(q.k)
-        wandQuery(cursors, heap, dlAt, avgdl, cost)
+        wandQuery(cursors, heap, dlAt, avgdl, cost,
+          theta0.getOrElse(q.query_id, Double.NegativeInfinity))
         TopK.result(heap).iterator.map(h =>
           WandRow(q.query_id, h.doc_id, h.score, is_cost = false, 0L, 0L, 0L)) ++
           Iterator.single(WandRow(q.query_id, -1L, 0.0, is_cost = true,
@@ -219,6 +227,46 @@ object Wand {
       queries: Seq[TermQuery] = QuerySet.queries): DataFrame =
     topKWithMetrics(spark, indexDir, snaps, queries)._1
 
+  /** θ warm-start from the hints sidecar (the reference's hints role,
+    * /root/reference/src/searchgraph/hints.jl:42-264): sum each hint
+    * doc's contributions over the query's terms (tfn under the merged
+    * avgdl), round onto the score grid, and take the k-th largest —
+    * a certified lower bound on the k-th best final score, since every
+    * true score only ADDS non-negative contributions to the partial.
+    * O(H·|terms|) driver work per query; empty map for pre-hints
+    * indexes (backward compatible).
+    */
+  private def hintThetas(spark: SparkSession, indexDir: String, snaps: Seq[Long],
+      queries: Seq[TermQuery], idfMap: Map[String, Double],
+      avgdl: Double): Map[Int, Double] = {
+    val qTerms = queries.flatMap(_.terms).distinct
+    val rows: Array[(String, Long, Long, Long)] =
+      try {
+        snaps.map(s => spark.read.parquet(IndexBuilder.IndexPaths(indexDir).hints(s)))
+          .reduce(_ union _)
+          .filter(col("term").isin(qTerms: _*))
+          .select("term", "doc_id", "tf", "dl").distinct()
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      } catch { case _: Throwable => Array.empty }
+    if (rows.isEmpty) return Map.empty
+    val byTerm = rows.groupBy(_._1)
+    queries.map { q =>
+      val perDoc = scala.collection.mutable.HashMap.empty[Long, Double]
+      q.terms.distinct.foreach { t =>
+        (idfMap.get(t), byTerm.get(t)) match {
+          case (Some(idf), Some(hs)) => hs.foreach { case (_, doc, tf, dl) =>
+            perDoc(doc) = perDoc.getOrElse(doc, 0.0) + idf * BM25.tfNorm(tf, dl, avgdl)
+          }
+          case _ =>
+        }
+      }
+      val lower = perDoc.values.map(BM25.roundScore).toArray.sorted(Ordering[Double].reverse)
+      val t0 = if (lower.length >= q.k) lower(q.k - 1) else Double.NegativeInfinity
+      q.query_id -> t0
+    }.toMap
+  }
+
   /** [[topK]] plus the per-query cost metrics
     * `(query_id, docs_scored, blocks_decoded, blocks_skipped)` summed
     * over shards — the production observable for WAND pruning (the
@@ -226,7 +274,8 @@ object Wand {
     * of the same shard-eval plan; consuming both runs it twice.
     */
   def topKWithMetrics(spark: SparkSession, indexDir: String, snaps: Seq[Long],
-      queries: Seq[TermQuery] = QuerySet.queries): (DataFrame, DataFrame) = {
+      queries: Seq[TermQuery] = QuerySet.queries,
+      useHints: Boolean = true): (DataFrame, DataFrame) = {
     import spark.implicits._
     val stats = IndexBuilder.loadStats(spark, indexDir, snaps)
     val nDocs = stats.map(_.n_docs).sum
@@ -241,7 +290,10 @@ object Wand {
       .collect()
       .map(r => r.getString(0) -> BM25.idf(nDocs, r.getLong(1)))
       .toMap
-    val bc = spark.sparkContext.broadcast((queries, idfMap, avgdl))
+    val theta0 =
+      if (useHints) hintThetas(spark, indexDir, snaps, queries, idfMap, avgdl)
+      else Map.empty[Int, Double]
+    val bc = spark.sparkContext.broadcast((queries, idfMap, avgdl, theta0))
 
     val posts = IndexBuilder.loadPostings(spark, indexDir, snaps)
       .filter(col("term").isin(qTerms: _*)) // pushed to parquet row groups
@@ -249,8 +301,8 @@ object Wand {
 
     val partial = posts.groupByKey(_.shard)
       .cogroup(norms.groupByKey(_.shard)) { (_, pIt, nIt) =>
-        val (qs, idf, ad) = bc.value
-        evalShard(pIt, nIt, qs, idf, ad)
+        val (qs, idf, ad, t0) = bc.value
+        evalShard(pIt, nIt, qs, idf, ad, t0)
       }
     // NOT persisted: topK consumes only hits (one lazy pass); a metrics
     // consumer pays an independent pass — callers that want both cheap

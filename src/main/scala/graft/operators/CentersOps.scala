@@ -175,6 +175,7 @@ object CentersOps {
     */
   def hsp(spark: SparkSession, sfDir: String, k1: Int = 20): DataFrame = {
     import spark.implicits._
+    VectorOps.guardExact(spark, Corpus.embeddings(spark, sfDir).count())
     val a = Corpus.embeddings(spark, sfDir)
       .select(col("vec_id").as("a_id"), col("embedding").cast("array<double>").as("a_emb"))
     val b = Corpus.embeddings(spark, sfDir)

@@ -41,6 +41,7 @@ object DistanceOps {
     * i<j — the same sample rule as distsample).
     */
   def vectorDistances(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorOps.guardExact(spark, Corpus.embeddings(spark, sfDir).count())
     val a = Corpus.embeddings(spark, sfDir)
       .select(col("vec_id").as("i"), col("embedding").as("ea"))
     val b = Corpus.embeddings(spark, sfDir)
@@ -92,6 +93,7 @@ object DistanceOps {
   val RtSigma = 4096
 
   def textDistances(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorOps.guardExact(spark, Corpus.documents(spark, sfDir).count())
     val t = Corpus.documents(spark, sfDir)
       .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"),
         substring(col("text"), 1, 24).as("prefix"))
@@ -174,6 +176,7 @@ object DistanceOps {
     * bit-packed storage round-trip.
     */
   def sqKnn(spark: SparkSession, sfDir: String, levels: Int, k: Int = 5): DataFrame = {
+    VectorOps.guardExact(spark, Corpus.embeddings(spark, sfDir).count())
     val emb = Corpus.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val mm = emb.select(

@@ -94,16 +94,55 @@ object TextOps {
     */
   def jaccardPairs(spark: SparkSession, sfDir: String, tau: Double = 0.5,
       dfCap: Int = ShingleDfCap): DataFrame = {
+    // materialize the shingle table ONCE (localCheckpoint = eager,
+    // lineage-truncated): it feeds five downstream references (df agg,
+    // both sides of the self-join, both verify joins) and tokenization
+    // is the dominant linear cost — without this the plan re-tokenizes
+    // the corpus per reference (measured ~5× on the whole operator).
+    // The repartition matters as much as the reuse: a single-file
+    // corpus is ONE scan split, and a checkpoint inherits its
+    // partitioning — everything downstream would run serial.
+    // At cluster scale the same reuse is a persist(DISK)/table write.
     val sh = docShingles(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val invAll = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val rare = invAll.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select("shingle")
-    val inv = invAll.join(rare, "shingle")
-    val cands = inv.as("x").join(inv.as("y"), Seq("shingle"))
+    // the HOT side is the small one: shingles with df > cap are by
+    // definition few (web boilerplate), so broadcast them and strip
+    // their rows with a map-side anti-join — hot rows never reach a
+    // reducer, which is the actual skew defense at web scale (a plain
+    // equi-join on shingle would still route a boilerplate shingle's
+    // 10^9 rows to one task before dropping them). df itself aggregates
+    // with map-side combine, so the hot computation is skew-free too.
+    val hot = invAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("shingle")
+    val inv = invAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // shared-RARE-shingle count per pair: long-only rows through the
+    // map-side-combinable groupBy — NO shingle arrays cross this join
+    // (the naive candidates→array_intersect form paid ~50-element array
+    // intersections on every one of the >10^6 pairs sharing ANY shingle)
+    val pairs = inv.as("x").join(inv.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    verifyJaccard(cands, sh, tau).orderBy("a", "b")
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("ir"))
+    // per-doc totals: n = |shingles|, nr = |rare shingles| ⇒ hot count n−nr
+    val stats = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+      .join(inv.groupBy("doc_id").agg(count(lit(1)).as("nr")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"), coalesce(col("nr"), lit(0L)).as("nr"))
+    // Jaccard upper bound: true inter ≤ ir + min(hot_a, hot_b) and the
+    // union shrinks accordingly — prefilter keeps a SUPERSET of every
+    // pair whose ROUNDED exact Jaccard can reach tau (1e-4 slack covers
+    // the round-up at the grid boundary), then the few survivors get the
+    // exact array verification. With no hot shingles the bound IS the
+    // exact Jaccard, so the verify set ≈ the output set.
+    val pre = pairs
+      .join(stats.select(col("doc_id").as("a"), col("n").as("na"), col("nr").as("ra")), "a")
+      .join(stats.select(col("doc_id").as("b"), col("n").as("nb"), col("nr").as("rb")), "b")
+      .withColumn("m", least(col("na") - col("ra"), col("nb") - col("rb")))
+      .filter((col("ir") + col("m")).cast("double") >=
+        lit(tau - 1e-4) * (col("na") + col("nb") - col("ir") - col("m")))
+      .select("a", "b")
+    verifyJaccard(pre, sh, tau).orderBy("a", "b")
   }
 
   /** Exact-Jaccard verification of candidate (a, b) pairs against the
@@ -168,7 +207,12 @@ object TextOps {
     val nh = MinhashHashes
     val bands = MinhashBands
     val rowsPerBand = nh / bands
-    val sh = docShingles(spark, sfDir).as[(Long, Seq[String])]
+    // one materialization feeds both the signature pass and verification
+    // (repartition: a single-file corpus is one split — see jaccardPairs)
+    val shDf = docShingles(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val sh = shDf.as[(Long, Seq[String])]
     val buckets = sh.flatMap { case (id, shingles) =>
       if (shingles.isEmpty) Iterator.empty
       else {
@@ -189,7 +233,7 @@ object TextOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     // exact verification on the candidate pairs only
-    verifyJaccard(cands, docShingles(spark, sfDir), tau).orderBy("a", "b")
+    verifyJaccard(cands, shDf, tau).orderBy("a", "b")
   }
 
   // ---------------------------------------------------------------- simhash

@@ -44,9 +44,26 @@ object VectorOps {
   def distCol(a: Column, b: Column): Column =
     round(lit(1.0) - dotCol(a, b), 4) + lit(0.0)
 
-  private def emb(spark: SparkSession, sfDir: String, alias: String): DataFrame =
-    Corpus.embeddings(spark, sfDir)
-      .select(col("vec_id").as(s"${alias}_id"), col("embedding").as(s"${alias}_emb"))
+  /** Gold-path guard: the exact all-pairs family below is O(n²·d) BY
+    * DESIGN — it is the ground truth the sub-quadratic paths are
+    * recall-gated against, exactly the reference's `ExhaustiveSearch`.
+    * Pointing it at a production-size corpus is a cluster-killer, so it
+    * refuses above a configurable row cap instead of silently running
+    * for a week. Raise `graft.exact.maxN` (session conf) to override,
+    * or use the ANN/LSH scale path ([[AnnOps]]).
+    */
+  private[operators] def guardExact(spark: SparkSession, n: Long): Unit = {
+    val cap = spark.conf.getOption("graft.exact.maxN").map(_.toLong).getOrElse(1000000L)
+    require(n <= cap,
+      s"exact O(n^2) gold path invoked on n=$n > cap=$cap rows; " +
+        "use the ANN/LSH scale path (AnnOps) or raise graft.exact.maxN")
+  }
+
+  private def emb(spark: SparkSession, sfDir: String, alias: String): DataFrame = {
+    val e = Corpus.embeddings(spark, sfDir)
+    guardExact(spark, e.count())
+    e.select(col("vec_id").as(s"${alias}_id"), col("embedding").as(s"${alias}_emb"))
+  }
 
   /** Q8 `allknn` (/root/reference/src/allknn.jl:27-68): k-NN of every
     * indexed element; self-reference preserved (v0.9 reference

@@ -106,6 +106,40 @@ class WandSpec extends AnyFunSuite {
     assert(scored < 5000, s"pruning must not score the whole corpus (scored=$scored)")
   }
 
+  test("hints θ warm-start: results identical, docs scored never more, strictly fewer when selective") {
+    val spark = TestSpark.spark
+    def totals(mdf: org.apache.spark.sql.DataFrame): (Long, Long) =
+      mdf.collect().foldLeft((0L, 0L))((a, r) => (a._1 + r.getLong(1), a._2 + r.getLong(3)))
+    // fixed query set on the shared sf0.001 index: rank-exactness must
+    // survive the warm-start, and pruning work can only shrink
+    val (hitsOn, mOn) = Wand.topKWithMetrics(spark, indexDir, Seq(1L), useHints = true)
+    val (hitsOff, mOff) = Wand.topKWithMetrics(spark, indexDir, Seq(1L), useHints = false)
+    assert(rows(hitsOn) == rows(hitsOff), "warm-start changed results")
+    val (scoredOn, _) = totals(mOn)
+    val (scoredOff, _) = totals(mOff)
+    info(s"docs scored: hints=$scoredOn no-hints=$scoredOff")
+    assert(scoredOn <= scoredOff)
+    // selective corpus (one rare + one universal term): the hint bound
+    // is ≈ the needle score, so the hay prefix is never scored at all
+    import spark.implicits._
+    val corpusDir = Files.createTempDirectory("graft-hints-corpus-").toString
+    val needles = Set(100L, 200L, 300L, 4900L)
+    val base = "hay wheat barley rye oat corn spelt millet"
+    (0L until 5000L).map(i => (i, if (needles(i)) s"needle $base" else base))
+      .toDF("doc_id", "text")
+      .repartition(4).write.parquet(s"$corpusDir/documents.parquet")
+    val d = Files.createTempDirectory("graft-hints-ix-").toString
+    IndexBuilder.build(spark, corpusDir, d, numShards = 1)
+    val qs = Seq(TermQuery(901, Seq("needle", "hay"), 3))
+    val (selOn, selMOn) = Wand.topKWithMetrics(spark, d, Seq(1L), qs, useHints = true)
+    val (selOff, selMOff) = Wand.topKWithMetrics(spark, d, Seq(1L), qs, useHints = false)
+    assert(rows(selOn) == rows(selOff))
+    val on = totals(selMOn)
+    val off = totals(selMOff)
+    info(s"selective: hints=(scored ${on._1}, skipped ${on._2}) no-hints=(scored ${off._1}, skipped ${off._2})")
+    assert(on._1 < off._1, "warm-start must strictly reduce scored docs on a selective query")
+  }
+
   test("multi-snapshot (unmerged segments) query ≡ single-snapshot query") {
     val spark = TestSpark.spark
     val d = Files.createTempDirectory("graft-wand-multi-").toString
