@@ -162,6 +162,99 @@ object DistanceOps {
       |  CAST(round(1.0 - cp / CAST(least(len(pa), len(pb)) AS DOUBLE), 4) AS DOUBLE) AS cp_dist
       |FROM m ORDER BY i, j""".stripMargin
 
+  /** Point-cloud distances (/root/reference/src/dist/cloud.jl):
+    * Hausdorff = max(max_u nnd(u,V), max_v nnd(v,U)), Chamfer =
+    * Σ_u nnd(u,V)/|U| + Σ_v nnd(v,U)/|V|, nnd = nearest-neighbor L2.
+    * Clouds = the embeddings grouped by label (bounded per label), so
+    * the pair space is label², not vector². Cross-engine float
+    * discipline: each cloud is materialized in vec_id order (Chamfer
+    * sums doubles, and collect_list order is otherwise
+    * nondeterministic); min/max are order-free; one round at the end.
+    */
+  def cloudDistances(spark: SparkSession, sfDir: String): DataFrame = {
+    val clouds = Corpus.embeddings(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb")))).as("pts"))
+      .select(col("label"), transform(col("pts"), p => p.getField("emb")).as("cloud"))
+    def l2(x: Column, y: Column): Column =
+      sqrt(aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)),
+        lit(0.0), (acc, v) => acc + v))
+    def nnd(cu: Column, cv: Column): Column =
+      transform(cu, x => array_min(transform(cv, y => l2(x, y))))
+    val a = clouds.select(col("label").as("la"), col("cloud").as("ca"))
+    val b = clouds.select(col("label").as("lb"), col("cloud").as("cb"))
+    a.crossJoin(b).filter(col("la") < col("lb"))
+      .select(col("la"), col("lb"),
+        nnd(col("ca"), col("cb")).as("nda"), nnd(col("cb"), col("ca")).as("ndb"),
+        size(col("ca")).as("na"), size(col("cb")).as("nb"))
+      .select(col("la").cast("long"), col("lb").cast("long"),
+        (round(greatest(array_max(col("nda")), array_max(col("ndb"))), 4) + lit(0.0))
+          .cast("double").as("hausdorff"),
+        (round(aggregate(col("nda"), lit(0.0), (acc, v) => acc + v) / col("na") +
+          aggregate(col("ndb"), lit(0.0), (acc, v) => acc + v) / col("nb"), 4) + lit(0.0))
+          .cast("double").as("chamfer"))
+      .orderBy("la", "lb")
+  }
+
+  val cloudDistancesOracleSql: String =
+    """WITH e AS (
+      |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |), c AS (
+      |  SELECT label, list(emb ORDER BY vec_id) AS cloud, count(*) AS n
+      |  FROM e GROUP BY label
+      |), p AS (
+      |  SELECT a.label AS la, b.label AS lb, a.cloud AS ca, b.cloud AS cb,
+      |         a.n AS na, b.n AS nb
+      |  FROM c a, c b WHERE a.label < b.label
+      |), d AS (
+      |  SELECT la, lb, na, nb,
+      |    [list_min([sqrt(list_sum([(x[k] - y[k]) * (x[k] - y[k])
+      |                              FOR k IN range(1, len(x) + 1)])) FOR y IN cb]) FOR x IN ca] AS nda,
+      |    [list_min([sqrt(list_sum([(x[k] - y[k]) * (x[k] - y[k])
+      |                              FOR k IN range(1, len(x) + 1)])) FOR y IN ca]) FOR x IN cb] AS ndb
+      |  FROM p
+      |)
+      |SELECT CAST(la AS BIGINT) AS la, CAST(lb AS BIGINT) AS lb,
+      |  CAST(round(greatest(list_max(nda), list_max(ndb)), 4) + 0.0 AS DOUBLE) AS hausdorff,
+      |  CAST(round(list_sum(nda) / na + list_sum(ndb) / nb, 4) + 0.0 AS DOUBLE) AS chamfer
+      |FROM d ORDER BY la, lb""".stripMargin
+
+  /** EMD as the reference's GREEDY perfect matching
+    * (/root/reference/src/dist/cloud.jl:88-120) — transferred exactly,
+    * including its accumulation of EVERY strictly-improving running
+    * minimum during each row's scan (cloud.jl:105-110: `s += d` sits
+    * inside the `d < min_` branch), not just the final match cost, and
+    * the swap-list consumption of |U| columns of V. Inner metric L2,
+    * exponent p as in the reference. Sequential data-dependent matching
+    * has no SQL form → JVM kernel, golden-gated in DistSpec.
+    */
+  def emdGreedy(u: Array[Array[Double]], v: Array[Array[Double]], p: Double = 1.0): Double = {
+    val n = u.length
+    require(v.length >= n, "EMD consumes |U| columns of V (reference indexes V[1..n])")
+    val c = Array.tabulate(n)(identity)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val ui = u(i)
+      var min = Double.MaxValue
+      var argmin = -1
+      var j = i
+      while (j < n) {
+        val vj = v(c(j))
+        var acc = 0.0
+        var k = 0
+        while (k < ui.length) { val d = ui(k) - vj(k); acc += d * d; k += 1 }
+        val d = math.pow(math.sqrt(acc), p)
+        if (d < min) { s += d; min = d; argmin = j }
+        j += 1
+      }
+      val t = c(argmin); c(argmin) = c(i); c(i) = t
+      i += 1
+    }
+    math.pow(s, 1.0 / p)
+  }
+
   /** Q23 scalar quantization (/root/reference/src/sq/u8.jl:5-65,
     * /root/reference/src/sq/u4.jl:68, /root/reference/src/sq/u2.jl:74,
     * global variant /root/reference/src/sq/gu8.jl:13-41): affine codes

@@ -45,7 +45,8 @@ object Registry {
     "q31_manifest" -> ((s, dir) => graft.operators.IndexExport.manifestExport(s, dir)),
     "q32_sq_u4_knn" -> ((s, dir) => graft.operators.DistanceOps.sqU4Knn(s, dir)),
     "q33_sq_u2_knn" -> ((s, dir) => graft.operators.DistanceOps.sqU2Knn(s, dir)),
-    "q34_random_proj" -> ((s, dir) => graft.operators.VectorOps.randomProj(s, dir))
+    "q34_random_proj" -> ((s, dir) => graft.operators.VectorOps.randomProj(s, dir)),
+    "q35_cloud_distances" -> ((s, dir) => graft.operators.DistanceOps.cloudDistances(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -81,6 +82,7 @@ object Registry {
     "q31_manifest" -> graft.operators.IndexExport.manifestExportOracleSql(),
     "q32_sq_u4_knn" -> graft.operators.DistanceOps.sqKnnOracleSql(15),
     "q33_sq_u2_knn" -> graft.operators.DistanceOps.sqKnnOracleSql(3),
-    "q34_random_proj" -> graft.operators.VectorOps.randomProjOracleSql
+    "q34_random_proj" -> graft.operators.VectorOps.randomProjOracleSql,
+    "q35_cloud_distances" -> graft.operators.DistanceOps.cloudDistancesOracleSql
   )
 }

@@ -47,6 +47,29 @@ class DistSpec extends AnyFunSuite {
     }
   }
 
+  test("EMD greedy matching: reference semantics incl. running-min accumulation") {
+    import graft.operators.DistanceOps.emdGreedy
+    def pt(xs: Double*): Array[Double] = xs.toArray
+    // identity clouds: every row matches itself at 0 immediately
+    val u = Array(pt(0, 0), pt(3, 4))
+    assert(emdGreedy(u, u) == 0.0)
+    // singletons: plain L2
+    assert(emdGreedy(Array(pt(0, 0)), Array(pt(3, 4))) == 5.0)
+    // the reference's quirk (cloud.jl:107): scanning x against [far,
+    // near] adds BOTH running minima (5 then 1); y then takes the
+    // leftover far column (d = 4) ⇒ total 5 + 1 + 4 = 10 at p = 1
+    val u2 = Array(pt(0, 0), pt(7, 0))
+    val v2 = Array(pt(3, 4), pt(1, 0)) // d(x,·) = 5, 1; d(y, far) = 4√...
+    val got = emdGreedy(u2, v2)
+    val dyFar = math.sqrt((7.0 - 3.0) * (7.0 - 3.0) + 16.0)
+    assert(math.abs(got - (5.0 + 1.0 + dyFar)) < 1e-12, s"got $got")
+    // p = 2: distances squared inside, sqrt of the sum outside
+    val g2 = emdGreedy(Array(pt(0, 0)), Array(pt(3, 4)), p = 2.0)
+    assert(math.abs(g2 - 5.0) < 1e-12)
+    // |V| > |U|: only the first |U| columns are consumable
+    assert(emdGreedy(Array(pt(1, 0)), Array(pt(1, 0), pt(9, 9))) == 0.0)
+  }
+
   test("random projection matrix: deterministic, right shape, near-unit row scale") {
     val m1 = RandomProj.matrix(16, 64)
     val m2 = RandomProj.matrix(16, 64)
