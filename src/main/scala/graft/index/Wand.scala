@@ -236,26 +236,93 @@ object Wand {
     * O(H·|terms|) driver work per query; empty map for pre-hints
     * indexes (backward compatible).
     */
+  /** Per-(index, snapshot set, term) hint-row memo: hints are immutable
+    * per snapshot, so each term's rows are fetched from parquet AT MOST
+    * once per JVM — repeated single-query calls (the p50/p99 path) pay
+    * ZERO extra jobs after their terms are warm. Terms with no hints
+    * memoize an empty array so absent terms don't re-trigger reads.
+    * Memory is bounded by (distinct queried terms) × H, not vocabulary.
+    */
+  private val hintsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Array[(Long, Long, Long)]]
+  /** (indexDir, snaps) whose hints sidecar is absent (pre-hints index). */
+  private val noHints = scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  /** Snapshot stats and per-term global df, memoized with the same
+    * immutable-per-snapshot argument as the hints: a sealed snapshot's
+    * stats/termstats never change, so the repeated-single-query path
+    * (latency p50/p99) runs ZERO driver-side parquet jobs once its
+    * terms are warm — only the shard-eval cogroup itself.
+    */
+  private val statsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[IndexBuilder.SnapStats]]
+  private val dfMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Option[Long]]
+
+  private def cachedStats(spark: SparkSession, indexDir: String,
+      snaps: Seq[Long]): Seq[IndexBuilder.SnapStats] = {
+    val sk = snaps.sorted.mkString(",")
+    statsMemo.getOrElseUpdate((indexDir, sk),
+      IndexBuilder.loadStats(spark, indexDir, snaps))
+  }
+
+  /** Global df for the given terms (summed across snapshots); None =
+    * the term occurs nowhere (kept out of the idf map, as before).
+    */
+  private def cachedDf(spark: SparkSession, indexDir: String, snaps: Seq[Long],
+      terms: Seq[String]): Map[String, Long] = {
+    val sk = snaps.sorted.mkString(",")
+    val missing = terms.filter(t => !dfMemo.contains((indexDir, sk, t)))
+    if (missing.nonEmpty) {
+      val found = snaps
+        .map(s => spark.read.parquet(IndexBuilder.IndexPaths(indexDir).termstats(s)))
+        .reduce(_ union _)
+        .filter(col("term").isin(missing: _*))
+        .groupBy("term").agg(sum("df").as("df"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      missing.foreach(t => dfMemo.put((indexDir, sk, t), found.get(t)))
+    }
+    terms.flatMap(t => dfMemo.get((indexDir, sk, t)).flatten.map(t -> _)).toMap
+  }
+
+  private def hintRows(spark: SparkSession, indexDir: String, snaps: Seq[Long],
+      terms: Seq[String]): Map[String, Array[(Long, Long, Long)]] = {
+    val sk = snaps.sorted.mkString(",")
+    if (noHints.contains((indexDir, sk))) return Map.empty
+    val missing = terms.filter(t => !hintsMemo.contains((indexDir, sk, t)))
+    if (missing.nonEmpty) {
+      try {
+        val fetched = snaps.map(s =>
+            spark.read.parquet(IndexBuilder.IndexPaths(indexDir).hints(s)))
+          .reduce(_ union _)
+          .filter(col("term").isin(missing: _*))
+          .select("term", "doc_id", "tf", "dl").distinct()
+          .collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+          .groupBy(_._1)
+        missing.foreach { t =>
+          hintsMemo.put((indexDir, sk, t), fetched.getOrElse(t, Array.empty).map(_._2))
+        }
+      } catch {
+        case _: Throwable => noHints.put((indexDir, sk), ()); return Map.empty
+      }
+    }
+    terms.flatMap(t => hintsMemo.get((indexDir, sk, t)).map(t -> _)).toMap
+  }
+
   private def hintThetas(spark: SparkSession, indexDir: String, snaps: Seq[Long],
       queries: Seq[TermQuery], idfMap: Map[String, Double],
       avgdl: Double): Map[Int, Double] = {
     val qTerms = queries.flatMap(_.terms).distinct
-    val rows: Array[(String, Long, Long, Long)] =
-      try {
-        snaps.map(s => spark.read.parquet(IndexBuilder.IndexPaths(indexDir).hints(s)))
-          .reduce(_ union _)
-          .filter(col("term").isin(qTerms: _*))
-          .select("term", "doc_id", "tf", "dl").distinct()
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      } catch { case _: Throwable => Array.empty }
-    if (rows.isEmpty) return Map.empty
-    val byTerm = rows.groupBy(_._1)
+    val byTerm = hintRows(spark, indexDir, snaps, qTerms)
+    if (byTerm.isEmpty) return Map.empty
     queries.map { q =>
       val perDoc = scala.collection.mutable.HashMap.empty[Long, Double]
       q.terms.distinct.foreach { t =>
         (idfMap.get(t), byTerm.get(t)) match {
-          case (Some(idf), Some(hs)) => hs.foreach { case (_, doc, tf, dl) =>
+          case (Some(idf), Some(hs)) => hs.foreach { case (doc, tf, dl) =>
             perDoc(doc) = perDoc.getOrElse(doc, 0.0) + idf * BM25.tfNorm(tf, dl, avgdl)
           }
           case _ =>
@@ -277,19 +344,15 @@ object Wand {
       queries: Seq[TermQuery] = QuerySet.queries,
       useHints: Boolean = true): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val stats = IndexBuilder.loadStats(spark, indexDir, snaps)
+    val stats = cachedStats(spark, indexDir, snaps)
     val nDocs = stats.map(_.n_docs).sum
     val avgdl = stats.map(_.sum_dl).sum.toDouble / nDocs
     val qTerms = queries.flatMap(_.terms).distinct
-    // global idf for the query terms only: tiny agg + driver map + broadcast
-    val idfMap: Map[String, Double] = snaps
-      .map(s => spark.read.parquet(IndexBuilder.IndexPaths(indexDir).termstats(s)))
-      .reduce(_ union _)
-      .filter(col("term").isin(qTerms: _*))
-      .groupBy("term").agg(sum("df").as("df"))
-      .collect()
-      .map(r => r.getString(0) -> BM25.idf(nDocs, r.getLong(1)))
-      .toMap
+    // global idf for the query terms only: tiny agg + driver map +
+    // broadcast, memoized per (index, snaps, term)
+    val idfMap: Map[String, Double] =
+      cachedDf(spark, indexDir, snaps, qTerms)
+        .map { case (t, df) => t -> BM25.idf(nDocs, df) }
     val theta0 =
       if (useHints) hintThetas(spark, indexDir, snaps, queries, idfMap, avgdl)
       else Map.empty[Int, Double]
