@@ -33,9 +33,19 @@ object DistanceOps {
   def linf(a: Column, b: Column): Column =
     array_max(diffs(a, b))
 
-  def l3(a: Column, b: Column): Column =
+  /** Generic Minkowski Lp (/root/reference/src/dist/vecs.jl:156-177). */
+  def lp(a: Column, b: Column, p: Double): Column =
     pow(aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
-      (x, y) => pow(abs(x - y), 3.0)), lit(0.0), (acc, v) => acc + v), 1.0 / 3.0)
+      (x, y) => pow(abs(x - y), p)), lit(0.0), (acc, v) => acc + v), 1.0 / p)
+
+  def l3(a: Column, b: Column): Column = lp(a, b, 3.0)
+
+  /** Angle distance = acos(cos) with the reference's domain clamp
+    * (`fastacos`, /root/reference/src/dist/cos.jl:56-67); over unit
+    * vectors Angle ≡ NormAngle.
+    */
+  def angle(a: Column, b: Column): Column =
+    acos(greatest(lit(-1.0), least(lit(1.0), VectorOps.dotCol(a, b))))
 
   /** All metrics over the deterministic pair sample (i·31+j ≡ 0 mod 97,
     * i<j — the same sample rule as distsample).
@@ -53,8 +63,13 @@ object DistanceOps {
         round(l2(col("ea"), col("eb")), 4).cast("double").as("l2"),
         round(linf(col("ea"), col("eb")), 4).cast("double").as("linf"),
         round(l3(col("ea"), col("eb")), 4).cast("double").as("l3"),
+        round(lp(col("ea"), col("eb"), 4.0), 4).cast("double").as("l4"),
         (round(lit(1.0) - VectorOps.dotCol(col("ea"), col("eb")), 4) + lit(0.0))
-          .cast("double").as("normcosine"))
+          .cast("double").as("normcosine"),
+        round(angle(col("ea"), col("eb")), 4).cast("double").as("angle"),
+        // SimilarityFromDistance 1/(1+d) (/root/reference/src/dist/hacks.jl:27-31)
+        round(lit(1.0) / (lit(1.0) + l2(col("ea"), col("eb"))), 4)
+          .cast("double").as("sim_from_l2"))
       .orderBy("i", "j")
   }
 
@@ -70,7 +85,10 @@ object DistanceOps {
       |  CAST(round(sqrt(list_sum([(ea[k] - eb[k]) * (ea[k] - eb[k]) FOR k IN range(1, len(ea) + 1)])), 4) AS DOUBLE) AS l2,
       |  CAST(round(list_max([abs(ea[k] - eb[k]) FOR k IN range(1, len(ea) + 1)]), 4) AS DOUBLE) AS linf,
       |  CAST(round(pow(list_sum([pow(abs(ea[k] - eb[k]), 3.0) FOR k IN range(1, len(ea) + 1)]), 1.0/3.0), 4) AS DOUBLE) AS l3,
-      |  CAST(round(1.0 - list_dot_product(ea, eb), 4) + 0.0 AS DOUBLE) AS normcosine
+      |  CAST(round(pow(list_sum([pow(abs(ea[k] - eb[k]), 4.0) FOR k IN range(1, len(ea) + 1)]), 1.0/4.0), 4) AS DOUBLE) AS l4,
+      |  CAST(round(1.0 - list_dot_product(ea, eb), 4) + 0.0 AS DOUBLE) AS normcosine,
+      |  CAST(round(acos(greatest(-1.0, least(1.0, list_dot_product(ea, eb)))), 4) AS DOUBLE) AS angle,
+      |  CAST(round(1.0 / (1.0 + sqrt(list_sum([(ea[k] - eb[k]) * (ea[k] - eb[k]) FOR k IN range(1, len(ea) + 1)]))), 4) AS DOUBLE) AS sim_from_l2
       |FROM p ORDER BY i, j""".stripMargin
 
   /** Set + string distances over a deterministic documents pair sample:
