@@ -93,15 +93,13 @@ object AnnOps {
     val wCap = Window.partitionBy("bucket").orderBy("vec_id")
     val indexed = coded.withColumn("brn", row_number().over(wCap))
       .filter(col("brn") <= BucketCap).drop("brn")
-    val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("nbr_id").asc)
-    probes.join(indexed.select(col("vec_id").as("nbr_id"), col("bucket"), col("emb")), "bucket")
+    val cands = probes
+      .join(indexed.select(col("vec_id").as("nbr_id"), col("bucket"), col("emb")), "bucket")
       .select(col("q_id"), col("nbr_id"),
         VectorOps.distCol(col("q_emb"), col("emb")).as("dist"))
       .distinct()
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id").cast("long").as("vec_id"), col("rnk").cast("int"),
-        col("nbr_id").cast("long"), col("dist").cast("double"))
+    VectorOps.topKByDist(cands, k, "q_id", "nbr_id")
+      .select(col("q_id").as("vec_id"), col("rnk"), col("nbr_id"), col("dist"))
       .orderBy("vec_id", "rnk")
   }
 
@@ -139,15 +137,13 @@ object AnnOps {
     val data = assigned.filter(col("rn") === 1).select("vec_id", "emb", "cell")
     val queries = assigned.filter(col("rn") <= np)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("cell"))
-    val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("nbr_id").asc)
-    queries.join(data.select(col("vec_id").as("nbr_id"), col("emb"), col("cell")), "cell")
+    val cands = queries
+      .join(data.select(col("vec_id").as("nbr_id"), col("emb"), col("cell")), "cell")
       .select(col("q_id"), col("nbr_id"),
         VectorOps.distCol(col("q_emb"), col("emb")).as("dist"))
       .distinct()
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id").cast("long").as("vec_id"), col("rnk").cast("int"),
-        col("nbr_id").cast("long"), col("dist").cast("double"))
+    VectorOps.topKByDist(cands, k, "q_id", "nbr_id")
+      .select(col("q_id").as("vec_id"), col("rnk"), col("nbr_id"), col("dist"))
       .orderBy("vec_id", "rnk")
   }
 

@@ -180,12 +180,14 @@ object CentersOps {
       .select(col("vec_id").as("a_id"), col("embedding").cast("array<double>").as("a_emb"))
     val b = Corpus.embeddings(spark, sfDir)
       .select(col("vec_id").as("b_id"), col("embedding").cast("array<double>").as("b_emb"))
-    val w = Window.partitionBy("a_id").orderBy(col("dist").asc, col("b_id").asc)
-    val cands = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"), col("b_emb"),
+    // top-k1 ids via the heap aggregator (no array payload in the pair
+    // space), then rejoin the candidate embeddings on n·k1 rows
+    val pairs = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
         VectorOps.distCol(col("a_emb"), col("b_emb")).as("dist"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k1)
-      .select(col("a_id"), col("b_id"), col("b_emb"), col("dist"), col("rn"))
+    val cands = VectorOps.topKByDist(pairs, k1, "a_id", "b_id")
+      .join(b.select(col("b_id"), col("b_emb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("b_emb"), col("dist"), col("rnk"))
       .as[(Long, Long, Seq[Double], Double, Int)]
     cands.groupByKey(_._1).flatMapGroups { (center, it) =>
       val sorted = it.toSeq.sortBy(c => (c._4, c._2)) // (dist, id) order

@@ -301,14 +301,11 @@ object DistanceOps {
       transform(col("codes"), v => col("lo") + v * col("c")).as("dq"))
     val a = deq.select(col("vec_id").as("i"), col("dq").as("da"))
     val b = deq.select(col("vec_id").as("j"), col("dq").as("db"))
-    val w = Window.partitionBy("i").orderBy(col("dist").asc, col("j").asc)
-    a.crossJoin(b)
+    val pairs = a.crossJoin(b)
       .select(col("i"), col("j"),
         (round(lit(1.0) - VectorOps.dotCol(col("da"), col("db")), 4) + lit(0.0)).as("dist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("i").cast("long").as("vec_id"), col("rnk").cast("int"),
-        col("j").cast("long").as("nbr_id"), col("dist").cast("double"))
+    VectorOps.topKByDist(pairs, k, "i", "j")
+      .select(col("i").as("vec_id"), col("rnk"), col("j").as("nbr_id"), col("dist"))
       .orderBy("vec_id", "rnk")
   }
 

@@ -95,18 +95,13 @@ object IndexExport {
     val permuted = emb.select((lit(maxId) - col("vec_id")).as("vec_id"), col("embedding"))
     val a = permuted.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = permuted.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("nbr_id").asc)
-    a.crossJoin(b)
+    val pairs = a.crossJoin(b)
       .select(col("a_id"), col("b_id"),
         VectorOps.distCol(col("a_emb"), col("b_emb")).as("dist"))
       // map BACK to original ids before ranking — the permutation must
       // be transparent, including tie-breaks on the ORIGINAL ids
       .select((lit(maxId) - col("a_id")).as("vec_id"),
         (lit(maxId) - col("b_id")).as("nbr_id"), col("dist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("vec_id").cast("long"), col("rnk").cast("int"),
-        col("nbr_id").cast("long"), col("dist").cast("double"))
-      .orderBy("vec_id", "rnk")
+    VectorOps.topKByDist(pairs, k, "vec_id", "nbr_id").orderBy("vec_id", "rnk")
   }
 }

@@ -65,10 +65,41 @@ object VectorOps {
     e.select(col("vec_id").as(s"${alias}_id"), col("embedding").as(s"${alias}_emb"))
   }
 
+  /** Bounded top-k per group over (group, id, dist) rows through the
+    * shared [[TopK]] aggregator under the `NegativeDistanceHack` bridge
+    * (/root/reference/src/dist/hacks.jl:13-17, score = −dist): partial
+    * heaps combine MAP-SIDE, so only ~k rows per (partition, group)
+    * shuffle — the window form sorts the entire pair space per group,
+    * which at n² pairs is the dominant cost. Order and tie rule are the
+    * pinned (dist ASC, id ASC); −0.0 == 0.0 in the comparator and the
+    * final negation restores +0.0, so oracle hash-identity is
+    * preserved.
+    */
+  private[operators] def topKByDist(pairs: DataFrame, k: Int,
+      groupCol: String, idCol: String): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val typed = pairs
+      .select(col(groupCol).cast("long"), col(idCol).cast("long"),
+        col("dist").cast("double"))
+      .as[(Long, Long, Double)]
+    val agg = new BoundedTopKAggregator(k)
+    typed.groupByKey(_._1)
+      .mapValues(t => graft.core.Types.ScoredDoc(t._2, -t._3))
+      .agg(agg.toColumn.name("hits"))
+      .toDF(groupCol, "hits")
+      .select(col(groupCol), posexplode(col("hits")))
+      .select(col(groupCol).cast("long"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.doc_id").cast("long").as(idCol),
+        (-col("col.score")).cast("double").as("dist"))
+  }
+
   /** Q8 `allknn` (/root/reference/src/allknn.jl:27-68): k-NN of every
     * indexed element; self-reference preserved (v0.9 reference
     * behavior, /root/reference/README.md:100) — rank 1 is the vector
-    * itself at dist 0.
+    * itself at dist 0. Top-k via the partial/final heap aggregator —
+    * the reference's `ParallelExhaustiveSearch` per-thread-queue +
+    * merge, exactly (/root/reference/src/parallel-exhaustive.jl:44-62).
     */
   def allKnn(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     val a = emb(spark, sfDir, "a")
@@ -76,12 +107,7 @@ object VectorOps {
     val pairs = a.crossJoin(b)
       .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
         distCol(col("a_emb"), col("b_emb")).as("dist"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("nbr_id").asc)
-    pairs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("vec_id").cast("long"), col("rnk").cast("int"),
-        col("nbr_id").cast("long"), col("dist").cast("double"))
-      .orderBy("vec_id", "rnk")
+    topKByDist(pairs, k, "vec_id", "nbr_id").orderBy("vec_id", "rnk")
   }
 
   def allKnnOracleSql(k: Int = 5): String =
@@ -225,21 +251,20 @@ object VectorOps {
       .withColumn("a_p", graft.functions.RandomProj.projCol(col("a_emb"), ProjDim, EmbDim))
     val b = emb(spark, sfDir, "b")
       .withColumn("b_p", graft.functions.RandomProj.projCol(col("b_emb"), ProjDim, EmbDim))
-    val cheap = a.crossJoin(b)
+    // the cheap pair space carries ONLY the 16-dim projections; the
+    // 64-dim embeddings rejoin on the surviving n·k1 candidate rows
+    val cheapPairs = a.select(col("a_id"), col("a_p"))
+      .crossJoin(b.select(col("b_id"), col("b_p")))
       .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
-        col("a_emb"), col("b_emb"),
-        round(sqL2(col("a_p"), col("b_p")), 4).as("cheap_dist"))
-    val w1 = Window.partitionBy("vec_id").orderBy(col("cheap_dist").asc, col("nbr_id").asc)
-    val cands = cheap.withColumn("rn", row_number().over(w1)).filter(col("rn") <= k1)
-    val w2 = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("nbr_id").asc)
-    cands
+        round(sqL2(col("a_p"), col("b_p")), 4).as("dist"))
+    val cands = topKByDist(cheapPairs, k1, "vec_id", "nbr_id")
+      .select("vec_id", "nbr_id")
+    val exact = cands
+      .join(emb(spark, sfDir, "a").select(col("a_id").as("vec_id"), col("a_emb")), "vec_id")
+      .join(emb(spark, sfDir, "b").select(col("b_id").as("nbr_id"), col("b_emb")), "nbr_id")
       .select(col("vec_id"), col("nbr_id"),
         distCol(col("a_emb"), col("b_emb")).as("dist"))
-      .withColumn("rnk", row_number().over(w2))
-      .filter(col("rnk") <= k)
-      .select(col("vec_id").cast("long"), col("rnk").cast("int"),
-        col("nbr_id").cast("long"), col("dist").cast("double"))
-      .orderBy("vec_id", "rnk")
+    topKByDist(exact, k, "vec_id", "nbr_id").orderBy("vec_id", "rnk")
   }
 
   /** DuckDB CTE prefix shared by the rerank-shaped oracles: per-vector
