@@ -29,8 +29,10 @@ object Explain {
     IndexBuilder.build(spark, sf, ix, numShards = 4)
     show("q03_wand_query", Wand.topK(spark, ix, Seq(1L)))
     show("q04_allknn", graft.operators.VectorOps.allKnn(spark, sf))
+    show("q10_rerank", graft.operators.VectorOps.rerank(spark, sf))
     show("q13_jaccard", graft.operators.TextOps.jaccardPairs(spark, sf))
     show("q17_quality", graft.operators.TextOps.qualityScore(spark, sf))
+    show("q21_ann_lsh", graft.operators.AnnOps.annLsh(spark, sf))
     spark.stop()
   }
 }
