@@ -123,6 +123,17 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(sizes.agg(max("count")).head().getLong(0) < k1)
   }
 
+  test("exact gold guard refuses above graft.exact.maxN and honors the override") {
+    val spark = TestSpark.spark
+    spark.conf.set("graft.exact.maxN", "10")
+    try {
+      val e = intercept[IllegalArgumentException](VectorOps.allKnn(spark, dir).collect())
+      assert(e.getMessage.contains("graft.exact.maxN"))
+    } finally spark.conf.unset("graft.exact.maxN")
+    // default cap (1e6) admits the fixture again
+    assert(VectorOps.allKnn(spark, dir, k = 1).count() > 0)
+  }
+
   test("distsample quantiles are sorted and within [0,2]") {
     val spark = TestSpark.spark
     val qs = VectorOps.distSample(spark, dir).collect().map(_.getDouble(1))
