@@ -46,6 +46,60 @@ object StreamingOps {
       .orderBy("window_start", "event_type")
   }
 
+  /** The REAL-INGEST shape of [[windowedEventCounts]]: append-mode
+    * parquet sink + checkpoint, in two AvailableNow runs. Run 1
+    * aggregates the fixture but emits nothing (append mode only emits a
+    * window once the watermark passes its end). A LATE sentinel file
+    * (the max-ts event shifted +30 days) then lands in the ingest
+    * directory; run 2 — a NEW query resumed from the same checkpoint,
+    * the way a real micro-batch ingest restarts — advances the
+    * watermark past every original window and appends them, finalized,
+    * to the sink. Output therefore equals the batch oracle over the
+    * original events (the sentinel's own window is never finalized).
+    */
+  def windowedEventCountsFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-ingest-")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      stageDir.resolve("events.parquet"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sink-").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck-").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(
+          unix_timestamp(col("window.start")).cast("long").as("window_start"),
+          col("event_type"), col("n").cast("long"),
+          col("sum_value").cast("double"))
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    // late data: the newest event re-arrives 30 days later — beyond
+    // every original window + watermark, so run 2 finalizes them all
+    val tsType = schema("ts").dataType
+    spark.read.parquet(path).orderBy(col("ts").desc).limit(1)
+      .withColumn("ts",
+        (col("ts").cast("timestamp") + expr("INTERVAL 30 DAYS")).cast(tsType))
+      .write.mode("append").parquet(stageDir.toString)
+    run()
+    spark.read.parquet(outDir)
+      .select(col("window_start").cast("long"), col("event_type"),
+        col("n").cast("long"), col("sum_value").cast("double"))
+      .orderBy("window_start", "event_type")
+  }
+
   final case class SessionRow(user_id: Long, session_start: Long,
       session_end: Long, n: Long, sum_value: Double)
 

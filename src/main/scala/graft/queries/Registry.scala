@@ -46,7 +46,8 @@ object Registry {
     "q32_sq_u4_knn" -> ((s, dir) => graft.operators.DistanceOps.sqU4Knn(s, dir)),
     "q33_sq_u2_knn" -> ((s, dir) => graft.operators.DistanceOps.sqU2Knn(s, dir)),
     "q34_random_proj" -> ((s, dir) => graft.operators.VectorOps.randomProj(s, dir)),
-    "q35_cloud_distances" -> ((s, dir) => graft.operators.DistanceOps.cloudDistances(s, dir))
+    "q35_cloud_distances" -> ((s, dir) => graft.operators.DistanceOps.cloudDistances(s, dir)),
+    "q36_events_filesink" -> ((s, dir) => graft.operators.StreamingOps.windowedEventCountsFileSink(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -83,6 +84,8 @@ object Registry {
     "q32_sq_u4_knn" -> graft.operators.DistanceOps.sqKnnOracleSql(15),
     "q33_sq_u2_knn" -> graft.operators.DistanceOps.sqKnnOracleSql(3),
     "q34_random_proj" -> graft.operators.VectorOps.randomProjOracleSql,
-    "q35_cloud_distances" -> graft.operators.DistanceOps.cloudDistancesOracleSql
+    "q35_cloud_distances" -> graft.operators.DistanceOps.cloudDistancesOracleSql,
+    // append-mode sink over finalized windows ≡ the same batch oracle
+    "q36_events_filesink" -> graft.operators.StreamingOps.windowedEventCountsOracleSql
   )
 }
