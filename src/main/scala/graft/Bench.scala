@@ -140,7 +140,7 @@ object Bench {
       "q04_allknn", "q12_dedup_exact", "q13_jaccard_pairs", "q14_minhash_lsh",
       "q15_simhash", "q16_langid", "q17_quality", "q18_token_count",
       "q19_fingerprint", "q21_ann_lsh", "q23_multimodal_meta", "q24_events_window",
-      "q32_sq_u4_knn", "q34_random_proj")
+      "q32_sq_u4_knn", "q34_random_proj", "q35_cloud_distances", "q36_events_filesink")
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     queries("index_build") = buildHi
     queries("wand_batch") = wandHi
