@@ -189,29 +189,63 @@ object DistanceOps {
     * sums doubles, and collect_list order is otherwise
     * nondeterministic); min/max are order-free; one round at the end.
     */
+  /** All nearest-neighbor distances from each point of u into v —
+    * plain JVM loops: the nested higher-order-function form
+    * (transform ∘ transform ∘ aggregate) does not whole-stage-codegen
+    * and interprets per element (measured 73 s for 45 cloud pairs of
+    * ~200×64 vectors; this kernel does the same work in < 1 s). Float
+    * order matches the oracle exactly: per-pair L2 sums left-to-right
+    * over dims, min over v order-free.
+    */
+  private def nndArr(u: Array[Array[Double]], v: Array[Array[Double]]): Array[Double] =
+    u.map { x =>
+      var best = Double.MaxValue
+      var j = 0
+      while (j < v.length) {
+        val y = v(j)
+        var s = 0.0
+        var k = 0
+        while (k < x.length) { val d = x(k) - y(k); s += d * d; k += 1 }
+        val dist = math.sqrt(s)
+        if (dist < best) best = dist
+        j += 1
+      }
+      best
+    }
+
+  /** Bit-identical twin of Spark SQL `round(x, 4) + 0.0` (Round goes
+    * through BigDecimal.valueOf → HALF_UP → toDouble).
+    */
+  private def roundSql4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+
   def cloudDistances(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val clouds = Corpus.embeddings(spark, sfDir)
       .groupBy(col("label"))
       .agg(sort_array(collect_list(struct(col("vec_id"),
         col("embedding").cast("array<double>").as("emb")))).as("pts"))
-      .select(col("label"), transform(col("pts"), p => p.getField("emb")).as("cloud"))
-    def l2(x: Column, y: Column): Column =
-      sqrt(aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)),
-        lit(0.0), (acc, v) => acc + v))
-    def nnd(cu: Column, cv: Column): Column =
-      transform(cu, x => array_min(transform(cv, y => l2(x, y))))
+      .select(col("label").cast("long").as("label"),
+        transform(col("pts"), p => p.getField("emb")).as("cloud"))
     val a = clouds.select(col("label").as("la"), col("cloud").as("ca"))
     val b = clouds.select(col("label").as("lb"), col("cloud").as("cb"))
     a.crossJoin(b).filter(col("la") < col("lb"))
-      .select(col("la"), col("lb"),
-        nnd(col("ca"), col("cb")).as("nda"), nnd(col("cb"), col("ca")).as("ndb"),
-        size(col("ca")).as("na"), size(col("cb")).as("nb"))
-      .select(col("la").cast("long"), col("lb").cast("long"),
-        (round(greatest(array_max(col("nda")), array_max(col("ndb"))), 4) + lit(0.0))
-          .cast("double").as("hausdorff"),
-        (round(aggregate(col("nda"), lit(0.0), (acc, v) => acc + v) / col("na") +
-          aggregate(col("ndb"), lit(0.0), (acc, v) => acc + v) / col("nb"), 4) + lit(0.0))
-          .cast("double").as("chamfer"))
+      .as[(Long, Seq[Seq[Double]], Long, Seq[Seq[Double]])]
+      .map { case (la, ca, lb, cb) =>
+        val u = ca.iterator.map(_.toArray).toArray
+        val v = cb.iterator.map(_.toArray).toArray
+        val nda = nndArr(u, v)
+        val ndb = nndArr(v, u)
+        // sums left-to-right in vec_id order (sorted clouds) — the
+        // exact accumulation the oracle's list_sum performs
+        (la, lb,
+          roundSql4(math.max(nda.max, ndb.max)),
+          roundSql4(nda.sum / u.length + ndb.sum / v.length))
+      }
+      .toDF("la", "lb", "hausdorff", "chamfer")
+      .select(col("la"), col("lb"), col("hausdorff").cast("double"),
+        col("chamfer").cast("double"))
       .orderBy("la", "lb")
   }
 
