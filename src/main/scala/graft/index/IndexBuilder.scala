@@ -177,6 +177,8 @@ object IndexBuilder {
 
     // ---- lineage + metrics from the WRITTEN artifacts, then commit
     commitManifest(spark, paths, snapshotId, parentSnapshot, onlyShards)
+    // a rebuild at the same path invalidates Wand's driver memos
+    Wand.invalidate(indexDir)
   }
 
   /** Manifest + metrics for the shards just sealed; manifest row
@@ -407,5 +409,6 @@ object IndexBuilder {
       .write.mode(SaveMode.Overwrite).parquet(paths.hints(outSnap))
 
     commitManifest(spark, paths, outSnap, inSnaps.max, None)
+    Wand.invalidate(indexDir)
   }
 }

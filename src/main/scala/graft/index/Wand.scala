@@ -259,6 +259,20 @@ object Wand {
   private val dfMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), Option[Long]]
 
+  /** Drop every memo entry for `indexDir`. The memos assume a sealed
+    * snapshot never changes at its path; [[IndexBuilder.build]] /
+    * [[IndexBuilder.mergeSnapshots]] CAN overwrite one in place
+    * (SaveMode.Overwrite, resume, re-merge), so they call this at
+    * commit time — otherwise a same-JVM rebuild would silently serve
+    * stale avgdl/idf/hints and score wrong with no error.
+    */
+  def invalidate(indexDir: String): Unit = {
+    hintsMemo.keys.filter(_._1 == indexDir).foreach(hintsMemo.remove)
+    noHints.keys.filter(_._1 == indexDir).foreach(noHints.remove)
+    statsMemo.keys.filter(_._1 == indexDir).foreach(statsMemo.remove)
+    dfMemo.keys.filter(_._1 == indexDir).foreach(dfMemo.remove)
+  }
+
   private def cachedStats(spark: SparkSession, indexDir: String,
       snaps: Seq[Long]): Seq[IndexBuilder.SnapStats] = {
     val sk = snaps.sorted.mkString(",")
@@ -306,7 +320,14 @@ object Wand {
           hintsMemo.put((indexDir, sk, t), fetched.getOrElse(t, Array.empty).map(_._2))
         }
       } catch {
-        case _: Throwable => noHints.put((indexDir, sk), ()); return Map.empty
+        // ONLY the expected missing-sidecar case (pre-hints index) may
+        // latch noHints; a transient read failure must propagate, not
+        // silently disable the θ warm-start for the rest of the JVM
+        case e @ (_: org.apache.spark.sql.AnalysisException |
+                  _: java.io.FileNotFoundException) =>
+          System.err.println(s"[graft] no hints sidecar for $indexDir " +
+            s"snaps=$sk (${e.getClass.getSimpleName}) — θ warm-start disabled")
+          noHints.put((indexDir, sk), ()); return Map.empty
       }
     }
     terms.flatMap(t => hintsMemo.get((indexDir, sk, t)).map(t -> _)).toMap
@@ -397,5 +418,27 @@ object Wand {
     val idx = java.nio.file.Files.createTempDirectory("graft-index-").toString
     IndexBuilder.build(spark, sfDir, idx, numShards)
     topK(spark, idx, Seq(1L))
+  }
+
+  /** Registry entry for the LOG-STRUCTURED MERGE (the reference's
+    * `rebuild` compaction, /root/reference/src/searchgraph/rebuild.jl:17-53):
+    * build TWO snapshots over the doc-id halves of the corpus, compact
+    * them with [[IndexBuilder.mergeSnapshots]], and run the fixed query
+    * set through WAND over the MERGED snapshot only. The oracle is the
+    * unchanged exhaustive BM25 SQL over the full corpus — a merged
+    * index is correct iff it answers exactly like a direct full build.
+    */
+  def topKOnMergedCorpus(spark: SparkSession, sfDir: String, numShards: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.max
+    val idx = java.nio.file.Files.createTempDirectory("graft-index-merge-").toString
+    val maxDoc = graft.corpus.Corpus.documents(spark, sfDir)
+      .agg(max("doc_id")).head().getLong(0)
+    val mid = (maxDoc + 1) / 2
+    IndexBuilder.build(spark, sfDir, idx, numShards, snapshotId = 1L,
+      docIdRange = Some((0L, mid)))
+    IndexBuilder.build(spark, sfDir, idx, numShards, snapshotId = 2L,
+      parentSnapshot = 1L, docIdRange = Some((mid, maxDoc + 1)))
+    IndexBuilder.mergeSnapshots(spark, idx, Seq(1L, 2L), outSnap = 3L, numShards)
+    topK(spark, idx, Seq(3L))
   }
 }

@@ -128,14 +128,19 @@ object AnnOps {
       .filter(col("vec_id").isin(cents: _*))
       .select(col("vec_id").as("cell"), col("embedding").cast("array<double>").as("cemb"))
     val emb = embDs(spark, sfDir)
-    // assignment: nearest center per vector
-    val wc = Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("cell").asc)
-    val assigned = emb.crossJoin(broadcast(cembs))
-      .select(col("vec_id"), col("emb"), col("cell"),
-        VectorOps.distCol(col("emb"), col("cemb")).as("cdist"))
-      .withColumn("rn", row_number().over(wc))
-    val data = assigned.filter(col("rn") === 1).select("vec_id", "emb", "cell")
-    val queries = assigned.filter(col("rn") <= np)
+    // assignment: nearest-np cells per vector through the shared heap
+    // aggregator on PAYLOAD-FREE (vec_id, cell, dist) rows — the window
+    // form sorted n·nlist rows per vector with the 64-dim embedding
+    // array riding through the shuffle; here ~np rows per (partition,
+    // vector) shuffle and the embeddings rejoin on n rows afterwards
+    val cellPairs = emb.crossJoin(broadcast(cembs))
+      .select(col("vec_id"), col("cell"),
+        VectorOps.distCol(col("emb"), col("cemb")).as("dist"))
+    val cellRank = VectorOps.topKByDist(cellPairs, np, "vec_id", "cell")
+    val data = cellRank.filter(col("rnk") === 1).select("vec_id", "cell")
+      .join(emb, "vec_id").select("vec_id", "emb", "cell")
+    val queries = cellRank.select(col("vec_id"), col("cell"))
+      .join(emb, "vec_id")
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("cell"))
     val cands = queries
       .join(data.select(col("vec_id").as("nbr_id"), col("emb"), col("cell")), "cell")

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.corpus.Corpus
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequential-by-nature reference operators: farthest-first traversal
@@ -67,13 +66,16 @@ object CentersOps {
     val cembs = Corpus.embeddings(spark, sfDir)
       .filter(col("vec_id").isin(cents: _*))
       .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cemb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("center_id").asc)
+    // nearest-center argmin via min_by on (dist, center_id) — partial
+    // aggregation instead of a per-vector sort over all k centers
     embA.crossJoin(broadcast(cembs))
       .select(col("vec_id"), col("center_id"),
         VectorOps.distCol(col("emb"), col("cemb")).as("dist"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id").cast("long"), col("center_id").cast("long").as("nn"),
-        col("dist").cast("double"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("center_id"), col("dist")),
+        struct(col("dist"), col("center_id"))).as("m"))
+      .select(col("vec_id").cast("long"), col("m.center_id").cast("long").as("nn"),
+        col("m.dist").cast("double").as("dist"))
       .orderBy("vec_id")
   }
 
@@ -115,10 +117,19 @@ object CentersOps {
     * test); the recursive CTE then replays the sequential scan carrying
     * the kept list.
     */
-  def hspOracleSql(k1: Int = 20): String =
+  def hspOracleSql(k1: Int = 20): String = hspOracleSqlImpl(k1, distal = false)
+
+  /** [[hspOracleSql]] with the distal scan order: candidates are still
+    * the k1 NEAREST, but the sequential replay walks them farthest-first
+    * ((dist DESC, id DESC) — the reference's reverse loop).
+    */
+  def hspDistalOracleSql(k1: Int = 20): String = hspOracleSqlImpl(k1, distal = true)
+
+  private def hspOracleSqlImpl(k1: Int, distal: Boolean): String = {
+    val dir = if (distal) "DESC" else "ASC"
     s"""WITH RECURSIVE e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-       |), cand AS (
+       |), nearest AS (
        |  SELECT * FROM (
        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |           round(1.0 - list_dot_product(a.emb, b.emb), 4) + 0.0 AS dist,
@@ -127,6 +138,11 @@ object CentersOps {
        |                      b.vec_id ASC) AS rn
        |    FROM e a JOIN e b ON a.vec_id <> b.vec_id
        |  ) WHERE rn <= $k1
+       |), cand AS (
+       |  SELECT a_id, b_id, dist,
+       |         row_number() OVER (PARTITION BY a_id
+       |           ORDER BY dist $dir, b_id $dir) AS rn
+       |  FROM nearest
        |), cd AS (
        |  SELECT x.a_id, x.b_id AS ci, y.b_id AS cj,
        |         round(1.0 - list_dot_product(ex.emb, ey.emb), 4) + 0.0 AS dxy
@@ -159,6 +175,7 @@ object CentersOps {
        |       CAST(o.nbr_id AS BIGINT) AS nbr_id, CAST(c.dist AS DOUBLE) AS dist
        |FROM outp o JOIN cand c ON c.a_id = o.a_id AND c.b_id = o.nbr_id
        |ORDER BY vec_id, rnk""".stripMargin
+  }
 
   private def centerVec(emb: DataFrame, id: Long): org.apache.spark.sql.Column = {
     val v = emb.filter(col("vec_id") === id).head().getSeq[Double](1)
@@ -173,9 +190,24 @@ object CentersOps {
     * per row → mapGroups, never a shuffle per step (SURVEY.md Q12:
     * "tiny k ⇒ driver/UDF, not a shuffle").
     */
-  def hsp(spark: SparkSession, sfDir: String, k1: Int = 20): DataFrame = {
+  def hsp(spark: SparkSession, sfDir: String, k1: Int = 20): DataFrame =
+    hspImpl(spark, sfDir, k1, distal = false)
+
+  /** Q12 distal variant (`hsp_distal_neighborhood_filter!`,
+    * /root/reference/src/hsp.jl:83-95): identical half-space test, but
+    * the candidate scan starts from the FARTHEST candidate and walks
+    * inward (`for i in length(neighborhood)-1:-1:1` after seeding with
+    * `last(neighborhood)`) — i.e. (dist DESC, id DESC) order; the seed
+    * is the unconditional first push, exactly like the proximal form's
+    * nearest-first seed.
+    */
+  def hspDistal(spark: SparkSession, sfDir: String, k1: Int = 20): DataFrame =
+    hspImpl(spark, sfDir, k1, distal = true)
+
+  private def hspImpl(spark: SparkSession, sfDir: String, k1: Int,
+      distal: Boolean): DataFrame = {
     import spark.implicits._
-    VectorOps.guardExact(spark, Corpus.embeddings(spark, sfDir).count())
+    VectorOps.guardExact(spark, VectorOps.embCount(spark, sfDir))
     val a = Corpus.embeddings(spark, sfDir)
       .select(col("vec_id").as("a_id"), col("embedding").cast("array<double>").as("a_emb"))
     val b = Corpus.embeddings(spark, sfDir)
@@ -190,7 +222,9 @@ object CentersOps {
       .select(col("a_id"), col("b_id"), col("b_emb"), col("dist"), col("rnk"))
       .as[(Long, Long, Seq[Double], Double, Int)]
     cands.groupByKey(_._1).flatMapGroups { (center, it) =>
-      val sorted = it.toSeq.sortBy(c => (c._4, c._2)) // (dist, id) order
+      // proximal: (dist ASC, id ASC); distal: (dist DESC, id DESC)
+      val asc = it.toSeq.sortBy(c => (c._4, c._2))
+      val sorted = if (distal) asc.reverse else asc
       val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
       sorted.foreach { case (_, cid, cemb, cdist, _) =>
         val ce = cemb.toArray

@@ -51,7 +51,7 @@ object DistanceOps {
     * i<j — the same sample rule as distsample).
     */
   def vectorDistances(spark: SparkSession, sfDir: String): DataFrame = {
-    VectorOps.guardExact(spark, Corpus.embeddings(spark, sfDir).count())
+    VectorOps.guardExact(spark, VectorOps.embCount(spark, sfDir))
     val a = Corpus.embeddings(spark, sfDir)
       .select(col("vec_id").as("i"), col("embedding").as("ea"))
     val b = Corpus.embeddings(spark, sfDir)
@@ -111,7 +111,7 @@ object DistanceOps {
   val RtSigma = 4096
 
   def textDistances(spark: SparkSession, sfDir: String): DataFrame = {
-    VectorOps.guardExact(spark, Corpus.documents(spark, sfDir).count())
+    VectorOps.guardExact(spark, VectorOps.docCount(spark, sfDir))
     val t = Corpus.documents(spark, sfDir)
       .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"),
         substring(col("text"), 1, 24).as("prefix"))
@@ -122,8 +122,16 @@ object DistanceOps {
     val nb = size(array_distinct(col("tb")))
     // Rogers–Tanimoto over sets: tt=|∩|, tf+ft=|aΔb|, ff=σ−|a∪b|
     //   → 1 − (σ − na − nb + 2i) / (σ + na + nb − 2i)
-    val rt = lit(1.0) - (lit(RtSigma) - na - nb + lit(2) * inter) /
+    // the pinned universe must hold: |a∪b| > σ would make ff negative
+    // and rt leave [0,1] IDENTICALLY in both engines (the oracle gate
+    // would pass on invalid distances) — so violation fails loudly here
+    val unionSize = na + nb - inter
+    val rt0 = lit(1.0) - (lit(RtSigma) - na - nb + lit(2) * inter) /
       (lit(RtSigma) + na + nb - lit(2) * inter).cast("double")
+    val rt = when(unionSize <= lit(RtSigma), rt0)
+      .otherwise(raise_error(concat(
+        lit("RogersTanimoto universe violated: |a union b| = "),
+        unionSize.cast("string"), lit(s" > sigma = $RtSigma"))))
     // CommonPrefix (/root/reference/src/dist/seqs.jl:10-35): matching
     // j-prefixes form exactly 1..cp, so counting them IS the prefix len
     val cp = expr("size(filter(sequence(1, least(length(pa), length(pb))), " +
@@ -321,7 +329,7 @@ object DistanceOps {
     * bit-packed storage round-trip.
     */
   def sqKnn(spark: SparkSession, sfDir: String, levels: Int, k: Int = 5): DataFrame = {
-    VectorOps.guardExact(spark, Corpus.embeddings(spark, sfDir).count())
+    VectorOps.guardExact(spark, VectorOps.embCount(spark, sfDir))
     val emb = Corpus.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val mm = emb.select(
@@ -374,6 +382,58 @@ object DistanceOps {
        |ORDER BY vec_id, rnk""".stripMargin
 
   def sqU8KnnOracleSql(k: Int = 5): String = sqKnnOracleSql(255, k)
+
+  /** Per-vector SQ (`SQMinC`, /root/reference/src/sq/sq.jl:10-13,
+    * applied per column at /root/reference/src/sq/u8.jl:43-65): each
+    * vector carries its OWN (min, c) affine params — the reference's
+    * default for heterogeneous-range vectors, vs the global variant
+    * above (gu8, /root/reference/src/sq/gu8.jl:13-41). Codes
+    * `round((x − min_v)/c_v)` with `c_v = (max_v − min_v)/levels`;
+    * k-NN over the dequantized vectors, same pinned tie rule.
+    */
+  def sqMinCKnn(spark: SparkSession, sfDir: String, levels: Int = 255,
+      k: Int = 5): DataFrame = {
+    VectorOps.guardExact(spark, VectorOps.embCount(spark, sfDir))
+    val emb = Corpus.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val deq = emb
+      .select(col("vec_id"), col("e"),
+        array_min(col("e")).as("lo"),
+        ((array_max(col("e")) - array_min(col("e"))) / levels.toDouble).as("c"))
+      .select(col("vec_id"),
+        transform(col("e"), x =>
+          col("lo") + round((x - col("lo")) / col("c"), 0) * col("c")).as("dq"))
+    val a = deq.select(col("vec_id").as("i"), col("dq").as("da"))
+    val b = deq.select(col("vec_id").as("j"), col("dq").as("db"))
+    val pairs = a.crossJoin(b)
+      .select(col("i"), col("j"),
+        (round(lit(1.0) - VectorOps.dotCol(col("da"), col("db")), 4) + lit(0.0)).as("dist"))
+    VectorOps.topKByDist(pairs, k, "i", "j")
+      .select(col("i").as("vec_id"), col("rnk"), col("j").as("nbr_id"), col("dist"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  def sqMinCKnnOracleSql(levels: Int = 255, k: Int = 5): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), dq AS (
+       |  SELECT vec_id,
+       |         [list_min(e) + round((x - list_min(e)) /
+       |            ((list_max(e) - list_min(e)) / $levels.0), 0) *
+       |            ((list_max(e) - list_min(e)) / $levels.0) FOR x IN e] AS d
+       |  FROM e
+       |), p AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j,
+       |         round(1.0 - list_dot_product(a.d, b.d), 4) + 0.0 AS dist
+       |  FROM dq a, dq b
+       |), r AS (
+       |  SELECT CAST(i AS BIGINT) AS vec_id,
+       |         CAST(row_number() OVER (PARTITION BY i ORDER BY dist ASC, j ASC) AS INTEGER) AS rnk,
+       |         CAST(j AS BIGINT) AS nbr_id, CAST(dist AS DOUBLE) AS dist
+       |  FROM p
+       |)
+       |SELECT vec_id, rnk, nbr_id, dist FROM r WHERE rnk <= $k
+       |ORDER BY vec_id, rnk""".stripMargin
 
   /** Bit-packed code storage for the u4/u2 variants (the reference
     * packs 2 codes/byte at u4, 4 codes/byte at u2 —

@@ -88,7 +88,7 @@ object IndexExport {
     * direct computation.
     */
   def permutedAllKnn(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    VectorOps.guardExact(spark, graft.corpus.Corpus.embeddings(spark, sfDir).count())
+    VectorOps.guardExact(spark, VectorOps.embCount(spark, sfDir))
     val emb = graft.corpus.Corpus.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val maxId = emb.agg(max("vec_id")).head().getLong(0)

@@ -14,6 +14,28 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
   */
 object StreamingOps {
 
+  /** Recursive temp-dir cleanup: the registry streaming queries stage
+    * ingest/sink/checkpoint directories per invocation, and the bench
+    * re-runs them — without cleanup /tmp grows without bound.
+    */
+  private[graft] def deleteRec(dirs: String*): Unit = dirs.foreach { d =>
+    val p = java.nio.file.Paths.get(d)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Pin a small result locally (driver rows) so its backing temp files
+    * can be deleted before return; preserves row order and schema.
+    */
+  private def localized(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -37,6 +59,7 @@ object StreamingOps {
       .start()
     q.processAllAvailable()
     q.stop()
+    deleteRec(stageDir.toString) // memory sink holds the rows; stage done
     spark.table(name)
       .select(
         unix_timestamp(col("window.start")).cast("long").as("window_start"),
@@ -94,21 +117,110 @@ object StreamingOps {
         (col("ts").cast("timestamp") + expr("INTERVAL 30 DAYS")).cast(tsType))
       .write.mode("append").parquet(stageDir.toString)
     run()
-    spark.read.parquet(outDir)
-      .select(col("window_start").cast("long"), col("event_type"),
-        col("n").cast("long"), col("sum_value").cast("double"))
-      .orderBy("window_start", "event_type")
+    // pin the (small, finalized) result locally, then drop all three
+    // temp dirs — the returned frame must not depend on them
+    try localized(
+      spark.read.parquet(outDir)
+        .select(col("window_start").cast("long"), col("event_type"),
+          col("n").cast("long"), col("sum_value").cast("double"))
+        .orderBy("window_start", "event_type"))
+    finally deleteRec(stageDir.toString, outDir, ckDir)
   }
 
   final case class SessionRow(user_id: Long, session_start: Long,
       session_end: Long, n: Long, sum_value: Double)
 
+  /** The open (not yet gap-closed) session of one user, held in
+    * `GroupState` across micro-batches. Timestamps in event-time
+    * micros.
+    */
+  final case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
+
+  /** Inactivity gap: 30 minutes. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** The per-batch state-transition function — REAL incremental state:
+    * each micro-batch folds its (batch-sorted) events into the user's
+    * open session from `GroupState`, emits every session CLOSED by a
+    * gap, keeps the trailing open session in state, and arms an
+    * event-time timeout at `last + gap` — when the watermark passes it,
+    * the session is provably complete (no non-late event can extend
+    * it) and the timeout path emits it. Multi-batch ingest therefore
+    * produces the same sessions as single-batch (StreamingSpec pins
+    * 2-batch ≡ 1-batch ≡ the batch oracle).
+    */
+  private[operators] def sessionStep(user: Long,
+      it: Iterator[(Long, Long, Long, Double, java.sql.Timestamp)],
+      state: org.apache.spark.sql.streaming.GroupState[OpenSession]): Iterator[SessionRow] = {
+    if (state.hasTimedOut) {
+      // watermark passed last + gap: the open session is final
+      val s = state.get
+      state.remove()
+      Iterator.single(SessionRow(user, s.start, s.last, s.n, s.sum))
+    } else {
+      val evs = it.toArray.sortBy(e => (e._2, e._3)) // in-batch (ts, event_id) order
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+      var cur: OpenSession = state.getOption.orNull
+      evs.foreach { case (_, ts, _, v, _) =>
+        if (cur == null) cur = OpenSession(ts, ts, 1L, v)
+        else if (ts - cur.last > SessionGapUs) {
+          out += SessionRow(user, cur.start, cur.last, cur.n, cur.sum)
+          cur = OpenSession(ts, ts, 1L, v)
+        } else cur = OpenSession(math.min(cur.start, ts), math.max(cur.last, ts),
+          cur.n + 1L, cur.sum + v)
+      }
+      if (cur != null) {
+        state.update(cur)
+        // ms granularity; +1 so the timeout strictly exceeds last + gap
+        state.setTimeoutTimestamp(cur.last / 1000 + SessionGapUs / 1000 + 1)
+      }
+      out.iterator
+    }
+  }
+
+  /** One AvailableNow micro-batch run of the sessionizer over whatever
+    * files currently sit in `stageDir`, resumed from `ckDir` — the unit
+    * the registry query AND the 2-batch ≡ 1-batch spec compose.
+    */
+  private[graft] def sessionizeRun(spark: SparkSession, stageDir: String,
+      outDir: String, ckDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import spark.implicits._
+    // the watermarked event-time column `ts` must survive projection
+    // into the grouped Dataset (event-time timeout requires it); the
+    // handler itself works on exact micros (ts_us)
+    val events = spark.readStream.schema(schema).parquet(stageDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("value").cast("double"),
+        col("ts"))
+      .as[(Long, Long, Long, Double, java.sql.Timestamp)]
+    val sessions = events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(sessionStep)
+    val q = sessions.writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Custom streaming state: per-user sessionization (30-minute
-    * inactivity gap) with `flatMapGroupsWithState` — the
-    * KeyValueGroupedDataset custom-state surface. Driven to completion
-    * synchronously like [[windowedEventCounts]]; the DuckDB oracle is
-    * the batch gaps-and-islands formulation, so the stateful handler's
-    * semantics are pinned cross-engine.
+    * inactivity gap) with `flatMapGroupsWithState` over REAL
+    * incremental `GroupState` + event-time timeout (see
+    * [[sessionStep]]). Registry form uses the same two-run
+    * checkpoint-resumed append-sink harness as
+    * [[windowedEventCountsFileSink]]: run 1 ingests the fixture and
+    * emits gap-closed sessions; a sentinel event (user −1, +30 days)
+    * then advances the watermark and run 2 — a NEW query resumed from
+    * the same checkpoint — times out and emits every remaining open
+    * session. Output ≡ the batch gaps-and-islands oracle over the
+    * original events (the sentinel's own open session never emits and
+    * is filtered defensively).
     */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -117,41 +229,26 @@ object StreamingOps {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-sess-")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       stageDir.resolve("events.parquet"))
-    val gapUs = 30L * 60 * 1000000
-    val name = s"graft_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val events = spark.readStream.schema(schema).parquet(stageDir.toString)
-      .select(col("user_id").cast("long"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-        col("event_id").cast("long"), col("value").cast("double"))
-      .as[(Long, Long, Long, Double)]
-    val sessions = events.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (user: Long, it: Iterator[(Long, Long, Long, Double)],
-            state: org.apache.spark.sql.streaming.GroupState[Long]) => {
-          // single AvailableNow batch: all of the user's events arrive
-          // together; split the time-ordered run at >30-min gaps
-          val evs = it.toSeq.sortBy(e => (e._2, e._3))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
-          var start = -1L; var last = -1L; var n = 0L; var sum = 0.0
-          evs.foreach { case (_, ts, _, v) =>
-            if (start < 0) { start = ts; last = ts; n = 1; sum = v }
-            else if (ts - last > gapUs) {
-              out += SessionRow(user, start, last, n, sum)
-              start = ts; last = ts; n = 1; sum = v
-            } else { last = ts; n += 1; sum += v }
-          }
-          if (start >= 0) out += SessionRow(user, start, last, n, sum)
-          out.iterator
-        })
-    val q = sessions.writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
-      .select(col("user_id"), col("session_start"), col("session_end"),
-        col("n"), round(col("sum_value"), 4).cast("double").as("sum_value"))
-      .orderBy("user_id", "session_start")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sess-sink-").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-sess-ck-").toString
+    def run(): Unit = sessionizeRun(spark, stageDir.toString, outDir, ckDir, schema)
+    run()
+    // sentinel: a user −1 event 30 days past the fixture max — advances
+    // the watermark beyond every open session's timeout in run 2
+    val tsType = schema("ts").dataType
+    spark.read.parquet(path).orderBy(col("ts").desc).limit(1)
+      .withColumn("ts",
+        (col("ts").cast("timestamp") + expr("INTERVAL 30 DAYS")).cast(tsType))
+      .withColumn("user_id", lit(-1L).cast(schema("user_id").dataType))
+      .write.mode("append").parquet(stageDir.toString)
+    run()
+    try localized(
+      spark.read.parquet(outDir)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n"), round(col("sum_value"), 4).cast("double").as("sum_value"))
+        .orderBy("user_id", "session_start"))
+    finally deleteRec(stageDir.toString, outDir, ckDir)
   }
 
   val sessionizeOracleSql: String =

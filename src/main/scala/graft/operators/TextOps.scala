@@ -3,7 +3,6 @@ package graft.operators
 import graft.analysis.{TextHash, Tokenizer}
 import graft.corpus.Corpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline text operators over `documents` — the
@@ -392,10 +391,14 @@ object TextOps {
       .join(broadcast(langDocs), "lang")
       .select(col("doc_id"), col("lang"),
         round(col("ll") + log(col("lang_docs") / nDocs.toDouble), 4).as("score"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id").cast("long"), col("lang").as("pred_lang"),
-        col("score").cast("double"))
+    // argmax via min_by on (−score, lang) ≡ (score DESC, lang ASC) —
+    // partial aggregation; the per-doc group is |langs| rows, but the
+    // window form still sorted every group through one state store
+    scored.groupBy(col("doc_id"))
+      .agg(min_by(struct(col("lang"), col("score")),
+        struct(negate(col("score")), col("lang"))).as("m"))
+      .select(col("doc_id").cast("long"), col("m.lang").as("pred_lang"),
+        col("m.score").cast("double").as("score"))
       .orderBy("doc_id")
   }
 

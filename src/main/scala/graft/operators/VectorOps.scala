@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.corpus.Corpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's vector k-NN operator family transferred literally —
@@ -59,10 +58,23 @@ object VectorOps {
         "use the ANN/LSH scale path (AnnOps) or raise graft.exact.maxN")
   }
 
+  /** Row counts for the guard, memoized per (table, sfDir): fixture
+    * tables are immutable per directory, and the guard used to cost one
+    * count() JOB per invocation (rerank alone triggered it 4×) — pure
+    * driver-side latency noise on the query paths.
+    */
+  private val countMemo = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  private[operators] def embCount(spark: SparkSession, sfDir: String): Long =
+    countMemo.getOrElseUpdate(("embeddings", sfDir), Corpus.embeddings(spark, sfDir).count())
+
+  private[operators] def docCount(spark: SparkSession, sfDir: String): Long =
+    countMemo.getOrElseUpdate(("documents", sfDir), Corpus.documents(spark, sfDir).count())
+
   private def emb(spark: SparkSession, sfDir: String, alias: String): DataFrame = {
-    val e = Corpus.embeddings(spark, sfDir)
-    guardExact(spark, e.count())
-    e.select(col("vec_id").as(s"${alias}_id"), col("embedding").as(s"${alias}_emb"))
+    guardExact(spark, embCount(spark, sfDir))
+    Corpus.embeddings(spark, sfDir)
+      .select(col("vec_id").as(s"${alias}_id"), col("embedding").as(s"${alias}_emb"))
   }
 
   /** Bounded top-k per group over (group, id, dist) rows through the
@@ -167,11 +179,13 @@ object VectorOps {
       .select(col("a_id").as("vec_id"), col("b_id").as("cand"),
         distCol(col("a_emb"), col("b_emb")).as("dist"))
       .filter(col("dist") <= eps && col("cand") <= col("vec_id"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cand").asc)
-    within.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").cast("long"), col("cand").cast("long").as("nn"),
-        col("dist").cast("double"))
+    // earliest cover per vector via min_by (partial-aggregating — no
+    // per-group sort of the pair space like the window-rank-1 form);
+    // cand is unique within a group, so the pick is deterministic
+    within.groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cand"), col("dist")), col("cand")).as("m"))
+      .select(col("vec_id").cast("long"), col("m.cand").cast("long").as("nn"),
+        col("m.dist").cast("double").as("dist"))
       .orderBy("vec_id")
   }
 

@@ -47,7 +47,10 @@ object Registry {
     "q33_sq_u2_knn" -> ((s, dir) => graft.operators.DistanceOps.sqU2Knn(s, dir)),
     "q34_random_proj" -> ((s, dir) => graft.operators.VectorOps.randomProj(s, dir)),
     "q35_cloud_distances" -> ((s, dir) => graft.operators.DistanceOps.cloudDistances(s, dir)),
-    "q36_events_filesink" -> ((s, dir) => graft.operators.StreamingOps.windowedEventCountsFileSink(s, dir))
+    "q36_events_filesink" -> ((s, dir) => graft.operators.StreamingOps.windowedEventCountsFileSink(s, dir)),
+    "q37_wand_merged" -> ((s, dir) => graft.index.Wand.topKOnMergedCorpus(s, dir)),
+    "q38_hsp_distal" -> ((s, dir) => graft.operators.CentersOps.hspDistal(s, dir)),
+    "q39_sq_minc_knn" -> ((s, dir) => graft.operators.DistanceOps.sqMinCKnn(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -86,6 +89,10 @@ object Registry {
     "q34_random_proj" -> graft.operators.VectorOps.randomProjOracleSql,
     "q35_cloud_distances" -> graft.operators.DistanceOps.cloudDistancesOracleSql,
     // append-mode sink over finalized windows ≡ the same batch oracle
-    "q36_events_filesink" -> graft.operators.StreamingOps.windowedEventCountsOracleSql
+    "q36_events_filesink" -> graft.operators.StreamingOps.windowedEventCountsOracleSql,
+    // a merged (compacted) index must answer exactly like a full build
+    "q37_wand_merged" -> graft.operators.ExactSearch.oracleSql(),
+    "q38_hsp_distal" -> graft.operators.CentersOps.hspDistalOracleSql(),
+    "q39_sq_minc_knn" -> graft.operators.DistanceOps.sqMinCKnnOracleSql()
   )
 }

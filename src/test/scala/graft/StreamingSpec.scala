@@ -22,4 +22,53 @@ class StreamingSpec extends AnyFunSuite {
       s"append-mode sink diverges: only-in-sink=${(appended -- complete).take(3)} " +
         s"missing=${(complete -- appended).take(3)}")
   }
+
+  /** The sessionizer's GroupState must be REAL incremental state: the
+    * same events split across two checkpoint-resumed micro-batch runs
+    * (batch 2 EXTENDS user 1's open session and CLOSES user 2's) must
+    * produce exactly the single-batch sessions — and both must equal
+    * the hand-computed gaps-and-islands gold.
+    */
+  test("stateful sessionization: 2-batch checkpoint-resumed ≡ 1-batch ≡ gold") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(u: Long, minute: Long, id: Long, v: Double) =
+      (u, new java.sql.Timestamp(base + minute * 60000L), id, v)
+    val batch1 = Seq(ev(1, 0, 1, 1.0), ev(1, 10, 2, 2.0),
+      ev(2, 0, 3, 1.5), ev(2, 5, 4, 0.5))
+    // 20 min extends user 1 (gap 10 ≤ 30); 200/180 min close + reopen
+    val batch2 = Seq(ev(1, 20, 5, 3.0), ev(1, 200, 6, 1.0), ev(2, 180, 7, 2.0))
+    val sentinel = Seq(ev(-1, 60L * 24 * 40, 99, 0.0)) // +40 days: flush all
+
+    def runScenario(batches: Seq[Seq[(Long, java.sql.Timestamp, Long, Double)]])
+        : Set[(Long, Long, Long, Long, Double)] = {
+      val stage = java.nio.file.Files.createTempDirectory("sess-spec-stage-").toString
+      val out = java.nio.file.Files.createTempDirectory("sess-spec-out-").toString
+      val ck = java.nio.file.Files.createTempDirectory("sess-spec-ck-").toString
+      try {
+        batches.foreach { b =>
+          b.toDF("user_id", "ts", "event_id", "value")
+            .coalesce(1).write.mode("append").parquet(stage)
+          val schema = spark.read.parquet(stage).schema
+          graft.operators.StreamingOps.sessionizeRun(spark, stage, out, ck, schema)
+        }
+        spark.read.parquet(out).filter(org.apache.spark.sql.functions.col("user_id") >= 0)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4))).toSet
+      } finally graft.operators.StreamingOps.deleteRec(stage, out, ck)
+    }
+
+    def us(minute: Long) = (base + minute * 60000L) * 1000L
+    val gold = Set(
+      (1L, us(0), us(20), 3L, 6.0),
+      (1L, us(200), us(200), 1L, 1.0),
+      (2L, us(0), us(5), 2L, 2.0),
+      (2L, us(180), us(180), 1L, 2.0))
+    val twoBatch = runScenario(Seq(batch1, batch2, sentinel))
+    val oneBatch = runScenario(Seq(batch1 ++ batch2, sentinel))
+    assert(oneBatch == gold, s"1-batch != gold: $oneBatch")
+    assert(twoBatch == gold,
+      s"2-batch != gold: extra=${twoBatch -- gold} missing=${gold -- twoBatch}")
+  }
 }
