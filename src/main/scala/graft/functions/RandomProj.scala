@@ -50,9 +50,58 @@ object RandomProj {
     * literal rows. Double.toString round-trips exactly, so both engines
     * multiply the same binary doubles.
     */
-  def duckProjSql(embExpr: String, outDim: Int, inDim: Int): String = {
-    val m = matrix(outDim, inDim)
+  def duckProjSql(embExpr: String, outDim: Int, inDim: Int): String =
+    duckSql(matrix(outDim, inDim), embExpr)
+
+  /** QR-orthonormalized variant (the reference's `qr` constructor,
+    * /root/reference/src/special/proj.jl:23-32: QR of a uniform random
+    * square matrix, Q truncated to the first outDim directions).
+    * Expressed as modified Gram–Schmidt over deterministic splitmix64
+    * uniforms — only the first outDim directions are ever needed, and
+    * MGS of those columns spans the same subspace Julia's
+    * `qr(...).Q[:, 1:outdim]` does. Orthonormal rows ⇒ the projection
+    * is an isometry on the spanned subspace (unlike the Gaussian map,
+    * which only preserves norms in expectation) — the property the
+    * reference buys with the QR path.
+    */
+  def matrixQR(outDim: Int, inDim: Int): Array[Array[Double]] = {
+    require(outDim <= inDim, s"qr projection needs outDim <= inDim ($outDim > $inDim)")
+    val m = Array.tabulate(outDim, inDim)((j, i) =>
+      toUnit(TextHash.splitmix64((j.toLong << 20) | i.toLong | (1L << 62))))
+    var j = 0
+    while (j < outDim) {
+      var p = 0
+      while (p < j) {
+        var d = 0.0
+        var i = 0
+        while (i < inDim) { d += m(j)(i) * m(p)(i); i += 1 }
+        i = 0
+        while (i < inDim) { m(j)(i) -= d * m(p)(i); i += 1 }
+        p += 1
+      }
+      var nrm = 0.0
+      var i = 0
+      while (i < inDim) { nrm += m(j)(i) * m(j)(i); i += 1 }
+      nrm = math.sqrt(nrm)
+      i = 0
+      while (i < inDim) { m(j)(i) /= nrm; i += 1 }
+      j += 1
+    }
+    m
+  }
+
+  /** Spark column for the QR variant — same literal-embedding shape as
+    * [[projCol]].
+    */
+  def projQRCol(emb: Column, outDim: Int, inDim: Int): Column = {
+    val m = matrixQR(outDim, inDim)
+    array(m.map(row => DotF64.dot(emb, lit(row))): _*)
+  }
+
+  def duckProjQRSql(embExpr: String, outDim: Int, inDim: Int): String =
+    duckSql(matrixQR(outDim, inDim), embExpr)
+
+  private def duckSql(m: Array[Array[Double]], embExpr: String): String =
     m.map(row => s"list_dot_product($embExpr, [${row.mkString(", ")}])")
       .mkString("[", ",\n        ", "]")
-  }
 }

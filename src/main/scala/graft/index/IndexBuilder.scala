@@ -60,16 +60,111 @@ object IndexBuilder {
   /** Hint fan-in per term (see the hints write in [[build]]). */
   val HintsPerTerm = 8
 
+  final case class HintRow(doc_id: Long, tf: Long, dl: Long)
+
+  /** Bounded aggregation state for [[HintsTopH]]: the ≤H best
+    * (tfn DESC, doc_id ASC) candidates seen so far, plain arrays so the
+    * product encoder applies (same shape as [[graft.operators.TopK.State]]).
+    */
+  final case class HintState(h: Int, doc_ids: Array[Long], tfs: Array[Long],
+      dls: Array[Long], tfns: Array[Double], var size: Int)
+
+  /** Partial+final top-H-per-term aggregator for the hints sidecar.
+    * The former `row_number() over (partition by term)` routed a head
+    * term's ENTIRE posting set through one reducer task — the exact
+    * single-reducer skew shape the q13 rewrite eliminated, reappearing
+    * on the build side at web scale. As a typed Aggregator the top-H is
+    * combined map-side: only ≤H rows per (partition, term) ever
+    * shuffle, so a stopword's hint cost is O(partitions·H), independent
+    * of its df.
+    */
+  final class HintsTopH(h: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Long, Long, Double), HintState, Seq[HintRow]] {
+    private def better(tfn1: Double, id1: Long, tfn2: Double, id2: Long): Boolean =
+      tfn1 > tfn2 || (tfn1 == tfn2 && id1 < id2)
+    private def insert(b: HintState, id: Long, tf: Long, dl: Long, tfn: Double): HintState = {
+      if (b.size < b.h) {
+        b.doc_ids(b.size) = id; b.tfs(b.size) = tf; b.dls(b.size) = dl
+        b.tfns(b.size) = tfn; b.size += 1
+      } else {
+        // find the worst kept candidate (H is tiny — linear scan)
+        var w = 0; var i = 1
+        while (i < b.size) {
+          if (better(b.tfns(w), b.doc_ids(w), b.tfns(i), b.doc_ids(i))) w = i
+          i += 1
+        }
+        if (better(tfn, id, b.tfns(w), b.doc_ids(w))) {
+          b.doc_ids(w) = id; b.tfs(w) = tf; b.dls(w) = dl; b.tfns(w) = tfn
+        }
+      }
+      b
+    }
+    override def zero: HintState =
+      HintState(h, new Array[Long](h), new Array[Long](h), new Array[Long](h),
+        new Array[Double](h), 0)
+    override def reduce(b: HintState, a: (String, Long, Long, Long, Double)): HintState =
+      insert(b, a._2, a._3, a._4, a._5)
+    override def merge(b1: HintState, b2: HintState): HintState = {
+      var i = 0
+      while (i < b2.size) {
+        insert(b1, b2.doc_ids(i), b2.tfs(i), b2.dls(i), b2.tfns(i)); i += 1
+      }
+      b1
+    }
+    override def finish(b: HintState): Seq[HintRow] =
+      (0 until b.size).map(i => (b.doc_ids(i), b.tfs(i), b.dls(i), b.tfns(i)))
+        .sortWith((x, y) => better(x._4, x._1, y._4, y._1))
+        .map(t => HintRow(t._1, t._2, t._3))
+    override def bufferEncoder: org.apache.spark.sql.Encoder[HintState] =
+      org.apache.spark.sql.Encoders.product[HintState]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[HintRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HintRow]]()
+  }
+
+  /** (term, doc_id, tf, dl) → the H strongest hint rows per term under
+    * `avgdl`, via [[HintsTopH]] (map-side-combined — head-term safe).
+    */
+  private def topHintsPerTerm(df: org.apache.spark.sql.DataFrame,
+      avgdl: Double): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("term"), col("doc_id").cast("long"), col("tf").cast("long"),
+        col("dl").cast("long"),
+        graft.functions.BM25.tfNormCol(col("tf"), col("dl"), lit(avgdl)).as("tfn"))
+      .as[(String, Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new HintsTopH(HintsPerTerm).toColumn.name("hs"))
+      .flatMap { case (term, hs) => hs.map(r => (term, r.doc_id, r.tf, r.dl)) }
+      .toDF("term", "doc_id", "tf", "dl")
+  }
+
   /** Build snapshot `snapshotId` over (optionally a doc_id subset of)
     * the corpus. `onlyShards` limits sealing to the given shards
     * (resume path); global artifacts (termstats/stats) are written only
     * when sealing the full shard set.
+    *
+    * `pruneTfnFloor` is the STATIC INDEX PRUNING dial — the inverted-
+    * index analog of the reference's build-side neighborhood filters
+    * (`SatNeighborhood`/`DistalSatNeighborhood`/`KCentersNeighborhood`,
+    * /root/reference/src/searchgraph/neighborhood.jl:89-137), which
+    * trade index size for recall by dropping low-impact edges at build
+    * time. Here: drop postings whose idf-independent BM25 contribution
+    * `tfn(tf, dl, avgdl)` falls below the floor — i.e. single
+    * occurrences of a term inside long documents, the postings least
+    * able to lift a document into any top-k. The filter is PER-ROW
+    * (no join, no extra shuffle, no skew surface), so the dial is free
+    * at any scale; df/idf and the hints sidecar are derived from the
+    * PRUNED posting set, keeping the sealed index self-consistent.
+    * `None` (default) = exact index; recall vs the exact index under
+    * various floors is pinned in WandSpec.
     */
   def build(spark: SparkSession, sfDir: String, indexDir: String,
       numShards: Int = 8, snapshotId: Long = 1L, parentSnapshot: Long = 0L,
       onlyShards: Option[Set[Int]] = None,
       docIdRange: Option[(Long, Long)] = None,
-      writeGlobals: Option[Boolean] = None): Unit = {
+      writeGlobals: Option[Boolean] = None,
+      pruneTfnFloor: Option[Double] = None): Unit = {
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val paths = IndexPaths(indexDir)
@@ -102,9 +197,12 @@ object IndexBuilder {
     // both the seal pass and the hints pass read it, and recomputing
     // means a second full tokenize of the corpus (the most expensive
     // linear stage). MEMORY_AND_DISK: spills, never OOMs.
-    val tf = Tokenizer.termFrequencies(docs)
+    val tfUnpruned = Tokenizer.termFrequencies(docs)
       .select(shardCol.as("shard"), col("term"), col("doc_id"),
         col("tf").cast("long"), col("dl").cast("long"))
+    val tf = pruneTfnFloor.fold(tfUnpruned)(floor =>
+        tfUnpruned.filter(graft.functions.BM25.tfNormCol(
+          col("tf"), col("dl"), lit(avgdl)) >= floor))
       .as[TermPosting]
     val tfScoped = (onlyShards match {
       case Some(ss) => tf.filter(p => ss.contains(p.shard))
@@ -157,19 +255,11 @@ object IndexBuilder {
       // Raw (tf, dl) is stored, not tfn: a multi-snapshot query recomputes
       // tfn under the MERGED avgdl, keeping the bound sound. Output is
       // H rows/term — tiny vs the postings; one extra agg pass over tf.
-      val hw = org.apache.spark.sql.expressions.Window
-        .partitionBy("term")
-        .orderBy(col("tfn").desc, col("doc_id").asc)
       // full-corpus source: the persisted tfScoped when it IS the full
       // corpus; on a resume (onlyShards) fall back to the unscoped plan
       // so the overwritten sidecar still covers every term
       val hintSrc = if (onlyShards.isEmpty) tfScoped.toDF() else tf.toDF()
-      hintSrc
-        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-          graft.functions.BM25.tfNormCol(col("tf"), col("dl"), lit(avgdl)).as("tfn"))
-        .withColumn("rn", row_number().over(hw))
-        .filter(col("rn") <= HintsPerTerm)
-        .select("term", "doc_id", "tf", "dl")
+      topHintsPerTerm(hintSrc, avgdl)
         .write.mode(SaveMode.Overwrite).parquet(paths.hints(snapshotId))
     }
 
@@ -396,16 +486,9 @@ object IndexBuilder {
     // merged hints: union the inputs' H-per-term rows, re-top under the
     // merged avgdl (any subset of docs is a sound θ0 witness set — the
     // union just keeps the strongest H)
-    val hw = org.apache.spark.sql.expressions.Window
-      .partitionBy("term")
-      .orderBy(col("tfn").desc, col("doc_id").asc)
-    inSnaps.map(s => spark.read.parquet(paths.hints(s)))
-      .reduce(_ union _)
-      .withColumn("tfn",
-        graft.functions.BM25.tfNormCol(col("tf"), col("dl"), lit(avgdl)))
-      .withColumn("rn", row_number().over(hw))
-      .filter(col("rn") <= HintsPerTerm)
-      .select("term", "doc_id", "tf", "dl")
+    topHintsPerTerm(
+        inSnaps.map(s => spark.read.parquet(paths.hints(s))).reduce(_ union _),
+        avgdl)
       .write.mode(SaveMode.Overwrite).parquet(paths.hints(outSnap))
 
     commitManifest(spark, paths, outSnap, inSnaps.max, None)

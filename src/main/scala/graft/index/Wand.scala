@@ -53,9 +53,8 @@ object Wand {
     var blocksSkipped = 0L
   }
 
-  /** Aggregated (query, shard)-level cost row emitted next to the hits. */
-  final case class WandRow(query_id: Int, doc_id: Long, score: Double,
-      is_cost: Boolean, docs_scored: Long, blocks_decoded: Long, blocks_skipped: Long)
+  /** One shard-local hit before the final per-query merge. */
+  final case class PartialHit(query_id: Int, doc_id: Long, score: Double)
 
   /** Posting-list cursor with block-skip seek. */
   final class Cursor(val pl: PostingList, val idf: Double, cost: Costs) {
@@ -179,12 +178,16 @@ object Wand {
     }
   }
 
-  /** All queries over one shard: local top-k hits per query, plus one
-    * cost row per (query, shard) with the pruning counters.
+  /** All queries over one shard: local top-k hits per query. The
+    * pruning counters are reported through `onCost` (once per query
+    * that had any cursor in this shard) — in production that is a Spark
+    * accumulator add, so hits and metrics come out of ONE shard-eval
+    * pass instead of the former lazy-two-views/two-passes shape.
     */
   private[index] def evalShard(postings: Iterator[PostingList], norms: Iterator[DocNorms],
       queries: Seq[TermQuery], idfMap: Map[String, Double],
-      avgdl: Double, theta0: Map[Int, Double] = Map.empty): Iterator[WandRow] = {
+      avgdl: Double, theta0: Map[Int, Double] = Map.empty,
+      onCost: (Int, Costs) => Unit = (_, _) => ()): Iterator[PartialHit] = {
     val byTerm = scala.collection.mutable.HashMap.empty[String, ArrayBuffer[PostingList]]
     postings.foreach(pl => byTerm.getOrElseUpdate(pl.term, new ArrayBuffer) += pl)
     if (byTerm.isEmpty) return Iterator.empty
@@ -212,20 +215,20 @@ object Wand {
         val heap = TopK.empty(q.k)
         wandQuery(cursors, heap, dlAt, avgdl, cost,
           theta0.getOrElse(q.query_id, Double.NegativeInfinity))
+        onCost(q.query_id, cost)
         TopK.result(heap).iterator.map(h =>
-          WandRow(q.query_id, h.doc_id, h.score, is_cost = false, 0L, 0L, 0L)) ++
-          Iterator.single(WandRow(q.query_id, -1L, 0.0, is_cost = true,
-            cost.docsScored, cost.blocksDecoded, cost.blocksSkipped))
+          PartialHit(q.query_id, h.doc_id, h.score))
       }
     }
   }
 
   /** Batch top-k over a built index (possibly several unmerged
     * snapshots — cursors per segment, doc ranges disjoint per term).
+    * Lazy, hits only — no cost machinery in the plan at all.
     */
   def topK(spark: SparkSession, indexDir: String, snaps: Seq[Long],
       queries: Seq[TermQuery] = QuerySet.queries): DataFrame =
-    topKWithMetrics(spark, indexDir, snaps, queries)._1
+    hitsPlan(spark, indexDir, snaps, queries, useHints = true, costAcc = None)
 
   /** θ warm-start from the hints sidecar (the reference's hints role,
     * /root/reference/src/searchgraph/hints.jl:42-264): sum each hint
@@ -358,12 +361,40 @@ object Wand {
   /** [[topK]] plus the per-query cost metrics
     * `(query_id, docs_scored, blocks_decoded, blocks_skipped)` summed
     * over shards — the production observable for WAND pruning (the
-    * reference's `costdist`/`costblk`). Both DataFrames are lazy views
-    * of the same shard-eval plan; consuming both runs it twice.
+    * reference's `costdist`/`costblk`). Counters flow through a
+    * CollectionAccumulator filled by the SAME shard-eval tasks that
+    * produce the hits, so ONE action drives both: the hits are
+    * collected eagerly here (they are ≤ queries×k rows by construction)
+    * and both returned frames are small local DataFrames. Accumulator
+    * caveat: a retried shard task could double-add its counter row —
+    * acceptable for an observability channel (the hits stay exactly
+    * correct), and impossible to observe under local[n].
     */
   def topKWithMetrics(spark: SparkSession, indexDir: String, snaps: Seq[Long],
       queries: Seq[TermQuery] = QuerySet.queries,
       useHints: Boolean = true): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val acc = spark.sparkContext
+      .collectionAccumulator[(Int, Long, Long, Long)]("graft.wand.cost")
+    val hits = hitsPlan(spark, indexDir, snaps, queries, useHints, Some(acc))
+    val hitRows = hits.collect() // the ONE action — fills acc as it runs
+    val hitsDf = spark.createDataFrame(
+      java.util.Arrays.asList(hitRows: _*), hits.schema)
+    import scala.jdk.CollectionConverters._
+    val metricsDf = acc.value.asScala.toSeq
+      .groupBy(_._1).toSeq
+      .map { case (q, rs) =>
+        (q, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum)
+      }
+      .sortBy(_._1)
+      .toDF("query_id", "docs_scored", "blocks_decoded", "blocks_skipped")
+    (hitsDf, metricsDf)
+  }
+
+  private def hitsPlan(spark: SparkSession, indexDir: String, snaps: Seq[Long],
+      queries: Seq[TermQuery], useHints: Boolean,
+      costAcc: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long, Long, Long)]])
+      : DataFrame = {
     import spark.implicits._
     val stats = cachedStats(spark, indexDir, snaps)
     val nDocs = stats.map(_.n_docs).sum
@@ -386,28 +417,20 @@ object Wand {
     val partial = posts.groupByKey(_.shard)
       .cogroup(norms.groupByKey(_.shard)) { (_, pIt, nIt) =>
         val (qs, idf, ad, t0) = bc.value
-        evalShard(pIt, nIt, qs, idf, ad, t0)
+        evalShard(pIt, nIt, qs, idf, ad, t0,
+          (qid, c) => costAcc.foreach(
+            _.add((qid, c.docsScored, c.blocksDecoded, c.blocksSkipped))))
       }
-    // NOT persisted: topK consumes only hits (one lazy pass); a metrics
-    // consumer pays an independent pass — callers that want both cheap
-    // should persist the inputs, not leak a cached Dataset per call
-    val merged = partial.filter(!_.is_cost)
+    val merged = partial
       .groupByKey(_.query_id).flatMapGroups { (qid, hits) =>
         val k = bc.value._1.find(_.query_id == qid).map(_.k).getOrElse(QuerySet.K)
         val heap = hits.foldLeft(TopK.empty(k)) { (h, r) => TopK.insert(h, r.doc_id, r.score) }
         TopK.result(heap).zipWithIndex.map { case (h, i) => QueryHit(qid, i + 1, h.doc_id, h.score) }
       }
-    val hitsDf = merged.toDF()
+    merged.toDF()
       .select(col("query_id").cast("int"), col("rnk").cast("int"),
         col("doc_id").cast("long"), col("score").cast("double"))
       .orderBy("query_id", "rnk")
-    val metricsDf = partial.filter(_.is_cost).toDF()
-      .groupBy(col("query_id").cast("int").as("query_id"))
-      .agg(sum("docs_scored").as("docs_scored"),
-        sum("blocks_decoded").as("blocks_decoded"),
-        sum("blocks_skipped").as("blocks_skipped"))
-      .orderBy("query_id")
-    (hitsDf, metricsDf)
   }
 
   /** Registry entry: build a fresh index for the sfDir corpus in a temp

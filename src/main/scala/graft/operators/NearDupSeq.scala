@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.corpus.Corpus
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reference-faithful sequential `neardup`
@@ -15,18 +14,25 @@ import org.apache.spark.sql.functions._
   *
   * Acceptance is inherently order-sequential across blocks (the
   * reference has the same block-order sensitivity — SURVEY.md §7.3), so
-  * this runs as a driver-coordinated loop of Spark jobs: one broadcast
-  * join per block against the accumulated accepted set; only the ≤
-  * blockSize uncovered candidates of the current block are collected
-  * for the sequential intra-block pass. At 10^12 docs the accepted set
-  * stays a Dataset (broadcast threshold aside, the join flips to
-  * shuffle automatically); per-block work is bounded.
+  * this runs as a driver-coordinated loop of Spark jobs: one join per
+  * block against the accumulated accepted set (broadcast while small,
+  * partitioned cartesian past [[NearDupSeq.BroadcastCapRows]]); only
+  * the ≤ blockSize uncovered candidates of the current block are
+  * collected for the sequential intra-block pass. The accepted set is
+  * driver-resident by the operator's nature (acceptance decisions are
+  * sequential), which bounds this operator at driver memory — the
+  * documented scale path for near-dup at 10^12 docs is LSH (q14).
   *
   * Invariants (reference /root/reference/test/testneardup.jl:14-16,
   * verbatim): all dist ≤ ε; sort(map) == sort(unique(nn)); accepted
   * elements cover themselves at dist 0.
   */
 object NearDupSeq {
+
+  /** Accepted-set size beyond which the per-block coverage join stops
+    * broadcasting and lets the cartesian join partition instead.
+    */
+  val BroadcastCapRows = 100000
 
   /** @param filterBlocks the reference's `filterblocks` keyword
     *   (/root/reference/src/neardup.jl:40, configs exercised at
@@ -45,21 +51,32 @@ object NearDupSeq {
     // blocks are id-range windows (≡ positional blocks on dense ids)
     val mm = emb.agg(min("vec_id"), max("vec_id")).head()
     val (minId, maxId) = (mm.getLong(0), mm.getLong(1))
-    var accepted: DataFrame = null // (nn, nn_emb)
+    // accepted centers live in a DRIVER buffer (they pass through the
+    // driver at acceptance time anyway — the intra-block pass collects
+    // its candidates); each block materializes a FRESH 1-deep local
+    // relation from it instead of the former per-block union+cache
+    // chain, whose lineage depth and leaked cached Datasets grew with
+    // the block count. Past [[BroadcastCapRows]] the per-block join
+    // drops the broadcast hint (a re-broadcast of a multi-GB accepted
+    // set per block is the wrong plan; the cartesian join partitions).
+    val accCenters = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
 
     (minId to maxId by blockSize).foreach { blockLo =>
       val blockDf = emb.filter(col("vec_id") >= blockLo &&
         col("vec_id") < blockLo + blockSize)
       // covered by a previously accepted center? nearest wins, ties → smallest id
-      val (coveredIds, coveredRows) = if (accepted == null) (Set.empty[Long], Nil) else {
-        val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("nn").asc)
-        val rows = blockDf.crossJoin(broadcast(accepted))
+      val (coveredIds, coveredRows) = if (accCenters.isEmpty) (Set.empty[Long], Nil) else {
+        val accDf = accCenters.toSeq.toDF("nn", "nn_emb")
+        val accJoin = if (accCenters.size <= BroadcastCapRows) broadcast(accDf) else accDf
+        val rows = blockDf.crossJoin(accJoin)
           .select(col("vec_id"), col("nn"),
             VectorOps.distCol(col("emb"), col("nn_emb")).as("dist"))
           .filter(col("dist") <= eps)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("nn"), col("dist"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("nn"), col("dist")),
+            struct(col("dist"), col("nn"))).as("m"))
+          .select(col("vec_id"), col("m.nn"), col("m.dist"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         (rows.map(_._1).toSet, rows.toList)
       }
@@ -85,12 +102,7 @@ object NearDupSeq {
         if (bestId >= 0) out += ((id, bestId, bestDist))
         else { blockAccepted += ((id, e)); out += ((id, id, 0.0)) }
       }
-      if (blockAccepted.nonEmpty) {
-        val newAcc = blockAccepted.toSeq.map { case (i, e) => (i, e.toSeq) }
-          .toDF("nn", "nn_emb")
-        accepted = if (accepted == null) newAcc else accepted.union(newAcc)
-        accepted = accepted.cache()
-      }
+      accCenters ++= blockAccepted.map { case (i, e) => (i, e.toSeq) }
     }
     emb.unpersist()
     out.toSeq.toDF("vec_id", "nn", "dist")

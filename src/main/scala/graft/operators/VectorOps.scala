@@ -326,8 +326,25 @@ object VectorOps {
         (round(col("col"), 4) + lit(0.0)).cast("double").as("val"))
       .orderBy("vec_id", "dim")
 
-  def randomProjOracleSql: String = {
-    val proj = graft.functions.RandomProj.duckProjSql("emb", ProjDim, EmbDim)
+  def randomProjOracleSql: String =
+    projOracleSql(graft.functions.RandomProj.duckProjSql("emb", ProjDim, EmbDim))
+
+  /** QR-orthonormal projection variant (reference `qr` constructor,
+    * /root/reference/src/special/proj.jl:23-32) — same registry shape
+    * as [[randomProj]], matrix from deterministic MGS.
+    */
+  def randomProjQR(spark: SparkSession, sfDir: String): DataFrame =
+    Corpus.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(graft.functions.RandomProj.projQRCol(col("embedding"), ProjDim, EmbDim)))
+      .select(col("vec_id").cast("long"), col("pos").cast("int").as("dim"),
+        (round(col("col"), 4) + lit(0.0)).cast("double").as("val"))
+      .orderBy("vec_id", "dim")
+
+  def randomProjQROracleSql: String =
+    projOracleSql(graft.functions.RandomProj.duckProjQRSql("emb", ProjDim, EmbDim))
+
+  private def projOracleSql(proj: String): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
        |), pr AS (
@@ -336,5 +353,4 @@ object VectorOps {
        |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(k - 1 AS INTEGER) AS dim,
        |       CAST(round(p[k], 4) + 0.0 AS DOUBLE) AS val
        |FROM pr, range(1, ${ProjDim + 1}) r(k) ORDER BY vec_id, dim""".stripMargin
-  }
 }

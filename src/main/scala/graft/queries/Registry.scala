@@ -50,7 +50,8 @@ object Registry {
     "q36_events_filesink" -> ((s, dir) => graft.operators.StreamingOps.windowedEventCountsFileSink(s, dir)),
     "q37_wand_merged" -> ((s, dir) => graft.index.Wand.topKOnMergedCorpus(s, dir)),
     "q38_hsp_distal" -> ((s, dir) => graft.operators.CentersOps.hspDistal(s, dir)),
-    "q39_sq_minc_knn" -> ((s, dir) => graft.operators.DistanceOps.sqMinCKnn(s, dir))
+    "q39_sq_minc_knn" -> ((s, dir) => graft.operators.DistanceOps.sqMinCKnn(s, dir)),
+    "q40_random_proj_qr" -> ((s, dir) => graft.operators.VectorOps.randomProjQR(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -93,6 +94,7 @@ object Registry {
     // a merged (compacted) index must answer exactly like a full build
     "q37_wand_merged" -> graft.operators.ExactSearch.oracleSql(),
     "q38_hsp_distal" -> graft.operators.CentersOps.hspDistalOracleSql(),
-    "q39_sq_minc_knn" -> graft.operators.DistanceOps.sqMinCKnnOracleSql()
+    "q39_sq_minc_knn" -> graft.operators.DistanceOps.sqMinCKnnOracleSql(),
+    "q40_random_proj_qr" -> graft.operators.VectorOps.randomProjQROracleSql
   )
 }

@@ -82,4 +82,20 @@ class DistSpec extends AnyFunSuite {
     // distinct rows
     assert(m1.map(_.toSeq).distinct.length == 16)
   }
+
+  test("QR projection matrix: deterministic and row-orthonormal") {
+    val q1 = RandomProj.matrixQR(16, 64)
+    val q2 = RandomProj.matrixQR(16, 64)
+    assert(q1.length == 16 && q1.forall(_.length == 64))
+    for (j <- 0 until 16; i <- 0 until 64)
+      assert(q1(j)(i) == q2(j)(i), "matrix must be bit-deterministic")
+    for (a <- 0 until 16; b <- a until 16) {
+      val d = (0 until 64).map(i => q1(a)(i) * q1(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-10, s"rows ${a}x${b} dot = $d, want $want")
+    }
+    // QR and Gaussian constructors must not alias each other's entries
+    val g = RandomProj.matrix(16, 64)
+    assert(q1.map(_.toSeq).toSeq != g.map(_.toSeq).toSeq)
+  }
 }

@@ -140,6 +140,31 @@ class WandSpec extends AnyFunSuite {
     assert(on._1 < off._1, "warm-start must strictly reduce scored docs on a selective query")
   }
 
+  test("static index pruning: tfn-floor build trades size for recall ≥ 0.9") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def postingsCount(d: String): Long =
+      IndexBuilder.loadPostings(spark, d, Seq(1L)).map(_.df_local).reduce(_ + _)
+    val exact = rows(Wand.topK(spark, indexDir, Seq(1L)))
+      .groupBy(_._1).map { case (q, hs) => q -> hs.map(_._3).toSet }
+    val full = postingsCount(indexDir)
+    val d = Files.createTempDirectory("graft-wand-pruned-").toString
+    IndexBuilder.build(spark, TestSpark.Sf0001, d, numShards = 4,
+      pruneTfnFloor = Some(1.05))
+    val pruned = postingsCount(d)
+    assert(pruned < full, "the floor must actually drop postings")
+    val got = rows(Wand.topK(spark, d, Seq(1L)))
+      .groupBy(_._1).map { case (q, hs) => q -> hs.map(_._3).toSet }
+    val recalls = exact.map { case (q, gold) =>
+      got.getOrElse(q, Set.empty).count(gold).toDouble / gold.size
+    }
+    val macroRecall = recalls.sum / recalls.size
+    info(f"postings $full → $pruned (${100.0 * (full - pruned) / full}%.1f%% dropped), " +
+      f"macro-recall $macroRecall%.3f")
+    assert(macroRecall >= 0.9,
+      f"pruned-index recall $macroRecall%.3f < 0.9 at floor 1.05")
+  }
+
   test("multi-snapshot (unmerged segments) query ≡ single-snapshot query") {
     val spark = TestSpark.spark
     val d = Files.createTempDirectory("graft-wand-multi-").toString
