@@ -103,6 +103,9 @@ object Bench {
         .collect().foldLeft((0L, 0L, 0L)) { (acc, r) =>
           (acc._1 + r.getLong(1), acc._2 + r.getLong(2), acc._3 + r.getLong(3))
         }
+      // untimed: drop this cycle's throwaway indexes (each is a full
+      // 500k-doc index — three ladder rungs would strand ~GBs in /tmp)
+      graft.operators.StreamingOps.deleteRec(wix +: reps.map(_._2): _*)
       (buildSec, qTimes(qTimes.length / 2), perQuery, cost)
     } finally spark.stop()
   }
@@ -150,8 +153,10 @@ object Bench {
     // WAND batches timed separately (q03_bm25_wand = their sum, for
     // round-over-round comparability).
     locally {
+      val made = scala.collection.mutable.ArrayBuffer.empty[String]
       def freshIdx(): String = {
         val d = java.nio.file.Files.createTempDirectory("graft-bench-q03-").toString
+        made += d
         IndexBuilder.build(spark, sfDir, d, numShards = 4)
         d
       }
@@ -163,6 +168,7 @@ object Bench {
       queries("q03_build") = b
       queries("q03_query") = q
       queries("q03_bm25_wand") = b + q
+      graft.operators.StreamingOps.deleteRec(made.toSeq: _*)
     }
     spark.stop()
 
@@ -206,5 +212,6 @@ object Bench {
         f""""inflate":$Inflate,"bench_docs":$nDocs"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
+    graft.operators.StreamingOps.deleteRec(corpusDir)
   }
 }

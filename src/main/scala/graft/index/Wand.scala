@@ -440,8 +440,22 @@ object Wand {
   def topKOnCorpus(spark: SparkSession, sfDir: String, numShards: Int = 4): DataFrame = {
     val idx = java.nio.file.Files.createTempDirectory("graft-index-").toString
     IndexBuilder.build(spark, sfDir, idx, numShards)
-    topK(spark, idx, Seq(1L))
+    localizedResult(topK(spark, idx, Seq(1L)), idx)
   }
+
+  /** Pin a small result locally, then delete the temp index dirs backing
+    * it — the registry index queries build a throwaway index per call
+    * and used to leave it in /tmp forever (same cleanup contract as the
+    * streaming registry queries).
+    */
+  private def localizedResult(df: DataFrame, dirs: String*): DataFrame =
+    try {
+      val rows = df.collect()
+      df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally {
+      graft.operators.StreamingOps.deleteRec(dirs: _*)
+      dirs.foreach(invalidate)
+    }
 
   /** Registry entry for the LOG-STRUCTURED MERGE (the reference's
     * `rebuild` compaction, /root/reference/src/searchgraph/rebuild.jl:17-53):
@@ -462,6 +476,6 @@ object Wand {
     IndexBuilder.build(spark, sfDir, idx, numShards, snapshotId = 2L,
       parentSnapshot = 1L, docIdRange = Some((mid, maxDoc + 1)))
     IndexBuilder.mergeSnapshots(spark, idx, Seq(1L, 2L), outSnap = 3L, numShards)
-    topK(spark, idx, Seq(3L))
+    localizedResult(topK(spark, idx, Seq(3L)), idx)
   }
 }

@@ -16,7 +16,7 @@ object IndexExport {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-export-").toString
     IndexBuilder.build(spark, sfDir, dir, numShards = 4)
-    IndexBuilder.loadPostings(spark, dir, Seq(1L))
+    val out = IndexBuilder.loadPostings(spark, dir, Seq(1L))
       .flatMap { pl =>
         val (ds, ts) = IndexFormat.decodeAll(pl)
         Iterator.single((pl.term, pl.df_local, ts.sum, ds.head, ds.last))
@@ -26,6 +26,8 @@ object IndexExport {
       .agg(sum("df").cast("long").as("df"), sum("cf").cast("long").as("cf"),
         min("min_doc").cast("long").as("min_doc"), max("max_doc").cast("long").as("max_doc"))
       .orderBy("term")
+    // throwaway index per call: pin the (tiny) export, drop the dir
+    try StreamingOps.localized(out) finally StreamingOps.deleteRec(dir)
   }
 
   val postingsExportOracleSql: String =
@@ -47,11 +49,12 @@ object IndexExport {
   def manifestExport(spark: SparkSession, sfDir: String, numShards: Int = 4): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest-").toString
     IndexBuilder.build(spark, sfDir, dir, numShards = numShards)
-    spark.read.parquet(s"$dir/manifest")
+    val out = spark.read.parquet(s"$dir/manifest")
       .select(col("shard").cast("int"), col("min_doc").cast("long"),
         col("max_doc").cast("long"), col("doc_count").cast("long"),
         col("term_count").cast("long"))
       .orderBy("shard")
+    try StreamingOps.localized(out) finally StreamingOps.deleteRec(dir)
   }
 
   /** Doc stats come from `documents` DIRECTLY (not the tokenized rows):

@@ -30,7 +30,7 @@ object StreamingOps {
   /** Pin a small result locally (driver rows) so its backing temp files
     * can be deleted before return; preserves row order and schema.
     */
-  private def localized(df: DataFrame): DataFrame = {
+  private[graft] def localized(df: DataFrame): DataFrame = {
     val rows = df.collect()
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)

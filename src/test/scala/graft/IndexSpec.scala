@@ -47,6 +47,40 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("HintsTopH aggregator ≡ sort-and-take-H golden model (random data, random partitioning)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new Random(7)
+    val avgdl = 40.0
+    val h = IndexBuilder.HintsPerTerm
+    // heavy skew on term t0 (df ~ 2000) + tfn ties (few distinct tf/dl
+    // combos) so the capacity-replacement tie rule is actually exercised
+    val rows = (0 until 3000).map { i =>
+      val term = if (i < 2000) "t0" else s"t${1 + rnd.nextInt(40)}"
+      (term, i.toLong, 1L + rnd.nextInt(3).toLong, 20L + rnd.nextInt(3).toLong * 20L)
+    }
+    val got = {
+      val df = rows.toDF("term", "doc_id", "tf", "dl").repartition(7)
+      // the private topHintsPerTerm is exercised through build(); here the
+      // aggregator is driven directly the same way build() drives it
+      df.select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          BM25.tfNormCol(col("tf"), col("dl"), lit(avgdl)).as("tfn"))
+        .as[(String, Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .agg(new IndexBuilder.HintsTopH(h).toColumn.name("hs"))
+        .flatMap { case (term, hs) => hs.map(r => (term, r.doc_id, r.tf, r.dl)) }
+        .collect().toSet
+    }
+    val want = rows.groupBy(_._1).flatMap { case (term, rs) =>
+      rs.map(r => (r._2, r._3, r._4, BM25.tfNorm(r._3, r._4, avgdl)))
+        .sortBy(t => (-t._4, t._1))
+        .take(h)
+        .map(t => (term, t._1, t._2, t._3))
+    }.toSet
+    assert(got == want,
+      s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
+
   test("built postings reproduce the tokenizer's tf table exactly (sf0.001)") {
     val spark = TestSpark.spark
     import spark.implicits._
