@@ -196,6 +196,42 @@ object Bench {
     queries.put("index_build", buildHi)
     queries.put("wand_batch", wandHi)
 
+    // ---- selective workload: the natural fixture vocabulary is too
+    // dense for block skipping (min df 5% ⇒ pivot gaps ~20 docs never
+    // cross a 128-entry block), so the official artifact would always
+    // record blocks_skipped=0 — which says nothing about the pruning
+    // machinery. This section builds a SELECTIVE corpus at the same
+    // 500k-doc scale (one df=0.05% needle term over a universal base
+    // vocabulary — the head-term + rare-term query every search engine
+    // serves) and reports the cost counters where θ-pruning can fire.
+    val selective = locally {
+      val sel = mkSession(cores)
+      try {
+        import sel.implicits._
+        val selCorpus = java.nio.file.Files.createTempDirectory("graft-bench-sel-").toString
+        val base = "hay wheat barley rye oat corn spelt millet"
+        // needle every 1000 docs and k=5 < needles-per-shard at every
+        // ladder scale, so each shard's heap FILLS with needles and θ
+        // clears the universal term's max contribution (k also ≤ the
+        // H=8 hints width ⇒ the θ warm-start starts AT the needle score)
+        sel.range(nDocs).select(col("id").as("doc_id"),
+            when(col("id") % 1000 === 0, lit(s"needle $base")).otherwise(lit(base)).as("text"))
+          .repartition(cores)
+          .write.mode(SaveMode.Overwrite).parquet(s"$selCorpus/documents.parquet")
+        val ix = java.nio.file.Files.createTempDirectory("graft-bench-sel-ix-").toString
+        val (bSec, _) = time(IndexBuilder.build(sel, selCorpus, ix, numShards = cores))
+        val qs = Seq(graft.core.Types.TermQuery(0, Seq("needle", "hay"), 5))
+        Wand.topK(sel, ix, Seq(1L), qs).collect() // warmup
+        val qSec = minOf(OpsReps)(Wand.topK(sel, ix, Seq(1L), qs).collect())
+        val cost = Wand.topKWithMetrics(sel, ix, Seq(1L), qs)._2
+          .collect().foldLeft((0L, 0L, 0L)) { (acc, r) =>
+            (acc._1 + r.getLong(1), acc._2 + r.getLong(2), acc._3 + r.getLong(3))
+          }
+        graft.operators.StreamingOps.deleteRec(selCorpus, ix)
+        (bSec, qSec, cost)
+      } finally sel.stop()
+    }
+
     // q03_bm25_wand duplicates q03_build + q03_query — count it once
     val total = queries.values.sum - queries.getOrElse("q03_bm25_wand", 0.0)
     val qs = queries.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
@@ -209,6 +245,9 @@ object Bench {
         f""""build_efficiency_base_to_lo":$buildEffLow%.3f},""" +
         s""""wand_cost":{"docs_scored":${wandCost._1},"blocks_decoded":${wandCost._2},""" +
         s""""blocks_skipped":${wandCost._3}},""" +
+        f""""selective":{"build_sec":${selective._1}%.3f,"query_sec":${selective._2}%.3f,""" +
+        s""""docs_scored":${selective._3._1},"blocks_decoded":${selective._3._2},""" +
+        s""""blocks_skipped":${selective._3._3}},""" +
         f""""inflate":$Inflate,"bench_docs":$nDocs"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
