@@ -155,6 +155,12 @@ class WandSpec extends AnyFunSuite {
     assert(pruned < full, "the floor must actually drop postings")
     val got = rows(Wand.topK(spark, d, Seq(1L)))
       .groupBy(_._1).map { case (q, hs) => q -> hs.map(_._3).toSet }
+    // hints are rebuilt FROM the pruned postings — θ0 must stay a sound
+    // lower bound within the pruned index (warm-start cannot change
+    // what the pruned index returns, only how fast)
+    assert(rows(Wand.topKWithMetrics(spark, d, Seq(1L), useHints = true)._1) ==
+      rows(Wand.topKWithMetrics(spark, d, Seq(1L), useHints = false)._1),
+      "hints warm-start changed pruned-index results")
     val recalls = exact.map { case (q, gold) =>
       got.getOrElse(q, Set.empty).count(gold).toDouble / gold.size
     }
