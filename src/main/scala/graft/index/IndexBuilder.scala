@@ -159,17 +159,25 @@ object IndexBuilder {
     * `None` (default) = exact index; recall vs the exact index under
     * various floors is pinned in WandSpec.
     */
+  /** `docsOverride`: an alternative (doc_id, text) source plan — the
+    * north-rule ingest path feeds the html EXTRACTION projection here
+    * directly (see [[Wand.topKOnPagesCorpus]]), so extraction →
+    * tokenize → seal is ONE Catalyst plan with no materialized
+    * intermediate corpus.
+    */
   def build(spark: SparkSession, sfDir: String, indexDir: String,
       numShards: Int = 8, snapshotId: Long = 1L, parentSnapshot: Long = 0L,
       onlyShards: Option[Set[Int]] = None,
       docIdRange: Option[(Long, Long)] = None,
       writeGlobals: Option[Boolean] = None,
-      pruneTfnFloor: Option[Double] = None): Unit = {
+      pruneTfnFloor: Option[Double] = None,
+      docsOverride: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val paths = IndexPaths(indexDir)
 
-    val docsAll = Corpus.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val docsAll = docsOverride.getOrElse(Corpus.documents(spark, sfDir))
+      .select(col("doc_id"), col("text"))
     val docs = docIdRange match {
       case Some((lo, hi)) => docsAll.filter(col("doc_id") >= lo && col("doc_id") < hi)
       case None => docsAll

@@ -457,6 +457,31 @@ object Wand {
       dirs.foreach(invalidate)
     }
 
+  /** Registry entry for the NORTH-RULE INGEST SHAPE: the corpus arrives
+    * as the web-page table `(url, warc_ts, html BINARY, text, lang)`
+    * (derived deterministically from the fixture — BASELINE.json
+    * `input_hint`), text is EXTRACTED FROM THE HTML BYTES inside the
+    * build plan ([[graft.corpus.Extractor.extractTextCol]] — codegen'd
+    * regexp, no UDF), and extraction → tokenize → seal runs as one
+    * Catalyst plan with no materialized intermediate corpus. The oracle
+    * is the unchanged exhaustive BM25 SQL over `documents`: the whole
+    * url→html→extract→index→WAND pipeline is correct iff it answers
+    * exactly like an index over the carried text column — the
+    * "byte-identical extracted text per url" invariant, enforced at
+    * the ranking level by the driver's hash gate.
+    */
+  def topKOnPagesCorpus(spark: SparkSession, sfDir: String, numShards: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val idx = java.nio.file.Files.createTempDirectory("graft-index-pages-").toString
+    val docsFromPages = graft.corpus.Corpus.pages(spark, sfDir)
+      .select(
+        regexp_extract(col("url"), "/p(\\d+)$", 1).cast("long").as("doc_id"),
+        graft.corpus.Extractor.extractTextCol(col("html")).as("text"))
+    IndexBuilder.build(spark, sfDir, idx, numShards,
+      docsOverride = Some(docsFromPages))
+    localizedResult(topK(spark, idx, Seq(1L)), idx)
+  }
+
   /** Registry entry for the LOG-STRUCTURED MERGE (the reference's
     * `rebuild` compaction, /root/reference/src/searchgraph/rebuild.jl:17-53):
     * build TWO snapshots over the doc-id halves of the corpus, compact

@@ -51,7 +51,8 @@ object Registry {
     "q37_wand_merged" -> ((s, dir) => graft.index.Wand.topKOnMergedCorpus(s, dir)),
     "q38_hsp_distal" -> ((s, dir) => graft.operators.CentersOps.hspDistal(s, dir)),
     "q39_sq_minc_knn" -> ((s, dir) => graft.operators.DistanceOps.sqMinCKnn(s, dir)),
-    "q40_random_proj_qr" -> ((s, dir) => graft.operators.VectorOps.randomProjQR(s, dir))
+    "q40_random_proj_qr" -> ((s, dir) => graft.operators.VectorOps.randomProjQR(s, dir)),
+    "q41_wand_from_pages" -> ((s, dir) => graft.index.Wand.topKOnPagesCorpus(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -95,6 +96,9 @@ object Registry {
     "q37_wand_merged" -> graft.operators.ExactSearch.oracleSql(),
     "q38_hsp_distal" -> graft.operators.CentersOps.hspDistalOracleSql(),
     "q39_sq_minc_knn" -> graft.operators.DistanceOps.sqMinCKnnOracleSql(),
-    "q40_random_proj_qr" -> graft.operators.VectorOps.randomProjQROracleSql
+    "q40_random_proj_qr" -> graft.operators.VectorOps.randomProjQROracleSql,
+    // url→html→extract→index→WAND must answer exactly like an index
+    // over the carried text (north-rule extraction invariant)
+    "q41_wand_from_pages" -> graft.operators.ExactSearch.oracleSql()
   )
 }
