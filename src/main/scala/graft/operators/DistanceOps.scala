@@ -341,13 +341,9 @@ object DistanceOps {
         col("lo"), ((col("hi") - col("lo")) / levels.toDouble).as("c"))
     val deq = q.select(col("vec_id"),
       transform(col("codes"), v => col("lo") + v * col("c")).as("dq"))
-    val a = deq.select(col("vec_id").as("i"), col("dq").as("da"))
-    val b = deq.select(col("vec_id").as("j"), col("dq").as("db"))
-    val pairs = a.crossJoin(b)
-      .select(col("i"), col("j"),
-        (round(lit(1.0) - VectorOps.dotCol(col("da"), col("db")), 4) + lit(0.0)).as("dist"))
-    VectorOps.topKByDist(pairs, k, "i", "j")
-      .select(col("i").as("vec_id"), col("rnk"), col("j").as("nbr_id"), col("dist"))
+    // full-cross exhaustive scan over the dequantized vectors — same
+    // fused broadcast-DB kernel as allknn (bit-identical NormCosine)
+    VectorOps.fusedExhaustiveKnn(deq, deq, k, "vec_id", "nbr_id")
       .orderBy("vec_id", "rnk")
   }
 
@@ -403,13 +399,7 @@ object DistanceOps {
       .select(col("vec_id"),
         transform(col("e"), x =>
           col("lo") + round((x - col("lo")) / col("c"), 0) * col("c")).as("dq"))
-    val a = deq.select(col("vec_id").as("i"), col("dq").as("da"))
-    val b = deq.select(col("vec_id").as("j"), col("dq").as("db"))
-    val pairs = a.crossJoin(b)
-      .select(col("i"), col("j"),
-        (round(lit(1.0) - VectorOps.dotCol(col("da"), col("db")), 4) + lit(0.0)).as("dist"))
-    VectorOps.topKByDist(pairs, k, "i", "j")
-      .select(col("i").as("vec_id"), col("rnk"), col("j").as("nbr_id"), col("dist"))
+    VectorOps.fusedExhaustiveKnn(deq, deq, k, "vec_id", "nbr_id")
       .orderBy("vec_id", "rnk")
   }
 

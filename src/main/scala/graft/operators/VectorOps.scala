@@ -106,20 +106,73 @@ object VectorOps {
         (-col("col.score")).cast("double").as("dist"))
   }
 
+  /** JVM twin of [[distCol]], bit-identical by construction: same
+    * sequential dot order as the DotF64 codegen, and the same rounding
+    * Catalyst's `Round` performs on doubles (BigDecimal.valueOf —
+    * i.e. Double.toString — then HALF_UP at scale 4), then the same
+    * `+ 0.0` negative-zero normalization.
+    */
+  @inline private[operators] def jvmDist(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); i += 1 }
+    java.math.BigDecimal.valueOf(1.0 - dot)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+  }
+
+  /** The reference's `ParallelExhaustiveSearch` transferred at the
+    * EXECUTION level too (/root/reference/src/parallel-exhaustive.jl:44-62):
+    * the database is broadcast (its shared-memory assumption — valid
+    * under [[guardExact]], which caps this gold path), each partition
+    * scans its query slice against the whole DB with a bounded local
+    * [[TopK]] heap, and every query's top-k completes inside its own
+    * partition — ZERO rows shuffle. The declarative
+    * crossJoin→[[topKByDist]] form (kept for the bucketed/candidate
+    * call sites) materializes n·m pair rows through hash aggregation
+    * and still exchanges ~k rows per group; for the full-cross gold
+    * queries the fused scan is the same answer at a fraction of the
+    * cost. Identical output by construction: [[jvmDist]] ≡ distCol
+    * bit-for-bit and the heap is the same pinned-tie-rule kernel.
+    */
+  private[operators] def fusedExhaustiveKnn(queries: DataFrame, db: DataFrame,
+      k: Int, outGroup: String, outId: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val dbRows = db.as[(Long, Array[Double])].collect().sortBy(_._1)
+    val ids = dbRows.map(_._1)
+    val vecs = dbRows.map(_._2)
+    val bc = spark.sparkContext.broadcast((ids, vecs))
+    queries.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (nids, nvecs) = bc.value
+        it.flatMap { case (qid, q) =>
+          val heap = TopK.empty(k)
+          var j = 0
+          while (j < nids.length) {
+            TopK.insert(heap, nids(j), -jvmDist(q, nvecs(j)))
+            j += 1
+          }
+          TopK.result(heap).iterator.zipWithIndex.map { case (h, i) =>
+            (qid, i + 1, h.doc_id, -h.score)
+          }
+        }
+      }
+      .toDF(outGroup, "rnk", outId, "dist")
+      .select(col(outGroup).cast("long"), col("rnk").cast("int"),
+        col(outId).cast("long"), col("dist").cast("double"))
+  }
+
   /** Q8 `allknn` (/root/reference/src/allknn.jl:27-68): k-NN of every
     * indexed element; self-reference preserved (v0.9 reference
     * behavior, /root/reference/README.md:100) — rank 1 is the vector
-    * itself at dist 0. Top-k via the partial/final heap aggregator —
-    * the reference's `ParallelExhaustiveSearch` per-thread-queue +
-    * merge, exactly (/root/reference/src/parallel-exhaustive.jl:44-62).
+    * itself at dist 0. Runs through [[fusedExhaustiveKnn]] — the
+    * parallel-exhaustive scan with per-partition bounded heaps.
     */
   def allKnn(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
-    val a = emb(spark, sfDir, "a")
-    val b = emb(spark, sfDir, "b")
-    val pairs = a.crossJoin(b)
-      .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
-        distCol(col("a_emb"), col("b_emb")).as("dist"))
-    topKByDist(pairs, k, "vec_id", "nbr_id").orderBy("vec_id", "rnk")
+    guardExact(spark, embCount(spark, sfDir))
+    val e = Corpus.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    fusedExhaustiveKnn(e, e, k, "vec_id", "nbr_id").orderBy("vec_id", "rnk")
   }
 
   def allKnnOracleSql(k: Int = 5): String =
