@@ -84,20 +84,28 @@ object AnnOps {
     import spark.implicits._
     val embds = embDs(spark, sfDir)
     val bits = if (nbits > 0) nbits else deriveNbits(embds.count())
+    // PAYLOAD-FREE bucket join: codes are (id, bucket) longs only — the
+    // old form shipped both 64-dim arrays through the bucket join and
+    // then distinct()'d the wide rows (multi-table collisions duplicate
+    // every pair up to L times). Dedup the id pairs first (two longs per
+    // row), then rejoin the embeddings once per SIDE of each surviving
+    // pair — two id equi-joins that partition cleanly at any scale.
     val coded = embds.as[(Long, Seq[Double])]
       .flatMap { case (id, e) =>
-        (0 until tables).map(t => (id, lshCode(e, t, bits), e))
-      }.toDF("vec_id", "bucket", "emb")
-    val probes = coded.select(col("vec_id").as("q_id"), col("bucket"),
-      col("emb").as("q_emb"))
+        (0 until tables).map(t => (id, lshCode(e, t, bits)))
+      }.toDF("vec_id", "bucket")
     val wCap = Window.partitionBy("bucket").orderBy("vec_id")
     val indexed = coded.withColumn("brn", row_number().over(wCap))
       .filter(col("brn") <= BucketCap).drop("brn")
-    val cands = probes
-      .join(indexed.select(col("vec_id").as("nbr_id"), col("bucket"), col("emb")), "bucket")
-      .select(col("q_id"), col("nbr_id"),
-        VectorOps.distCol(col("q_emb"), col("emb")).as("dist"))
+    val pairIds = coded.select(col("vec_id").as("q_id"), col("bucket"))
+      .join(indexed.select(col("vec_id").as("nbr_id"), col("bucket")), "bucket")
+      .select("q_id", "nbr_id")
       .distinct()
+    val cands = pairIds
+      .join(embds.select(col("vec_id").as("q_id"), col("emb").as("q_emb")), "q_id")
+      .join(embds.select(col("vec_id").as("nbr_id"), col("emb").as("n_emb")), "nbr_id")
+      .select(col("q_id"), col("nbr_id"),
+        VectorOps.distCol(col("q_emb"), col("n_emb")).as("dist"))
     VectorOps.topKByDist(cands, k, "q_id", "nbr_id")
       .select(col("q_id").as("vec_id"), col("rnk"), col("nbr_id"), col("dist"))
       .orderBy("vec_id", "rnk")
