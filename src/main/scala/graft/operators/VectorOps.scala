@@ -112,7 +112,7 @@ object VectorOps {
     * i.e. Double.toString — then HALF_UP at scale 4), then the same
     * `+ 0.0` negative-zero normalization.
     */
-  @inline private[operators] def jvmDist(a: Array[Double], b: Array[Double]): Double = {
+  @inline private[graft] def jvmDist(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0
     var i = 0
     while (i < a.length) { dot += a(i) * b(i); i += 1 }
@@ -149,7 +149,20 @@ object VectorOps {
           val heap = TopK.empty(k)
           var j = 0
           while (j < nids.length) {
-            TopK.insert(heap, nids(j), -jvmDist(q, nvecs(j)))
+            var dot = 0.0
+            var i = 0
+            while (i < q.length) { dot += q(i) * nvecs(j)(i); i += 1 }
+            val ud = 1.0 - dot
+            // rounding displaces a value by at most 0.5e-4, so an
+            // unrounded dist more than 1e-4 above the current worst
+            // KEPT dist rounds to something still strictly worse —
+            // skip the BigDecimal round for the ~100% of pairs that
+            // can't enter the heap (TopK.threshold is −worstDist
+            // under the negation bridge; −∞ until full ⇒ never skips)
+            if (!(ud - 1e-4 > -TopK.threshold(heap)))
+              TopK.insert(heap, nids(j),
+                -(java.math.BigDecimal.valueOf(ud)
+                  .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0))
             j += 1
           }
           TopK.result(heap).iterator.zipWithIndex.map { case (h, i) =>

@@ -83,6 +83,26 @@ class DistSpec extends AnyFunSuite {
     assert(m1.map(_.toSeq).distinct.length == 16)
   }
 
+  test("jvmDist ≡ Spark distCol bit-for-bit on random vectors (fused-kernel contract)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 50).map(_ => Array.fill(64)(rnd.nextGaussian() / 8.0))
+    val pairs = for (a <- vecs; b <- vecs.take(10)) yield (a.toSeq, b.toSeq)
+    val viaSpark = pairs.toDF("a", "b")
+      .select(graft.operators.VectorOps.distCol(
+        org.apache.spark.sql.functions.col("a").cast("array<double>"),
+        org.apache.spark.sql.functions.col("b").cast("array<double>")).as("d"))
+      .collect().map(_.getDouble(0))
+    val viaJvm = pairs.map { case (a, b) =>
+      graft.operators.VectorOps.jvmDist(a.toArray, b.toArray)
+    }
+    viaSpark.zip(viaJvm).foreach { case (s, j) =>
+      assert(java.lang.Double.doubleToRawLongBits(s) ==
+        java.lang.Double.doubleToRawLongBits(j), s"$s vs $j")
+    }
+  }
+
   test("QR projection matrix: deterministic and row-orthonormal") {
     val q1 = RandomProj.matrixQR(16, 64)
     val q2 = RandomProj.matrixQR(16, 64)
