@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print a single machine-read JSON line; sbt's
+// default LoggedOutput strategy prefixes forked stdout with "[info] ",
+// which breaks line-oriented JSON parsing downstream. CustomOutput
+// writes the forked process's output through unprefixed (StdoutOutput
+// would inherit fds, but sbt then never reaps the fork under -batch
+// with redirected stdio — measured: zombie JVM + indefinite hang).
+run / outputStrategy := Some(OutputStrategy.CustomOutput(System.out))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

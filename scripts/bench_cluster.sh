@@ -1,0 +1,72 @@
+#!/usr/bin/env bash
+# Multi-executor scaling evidence for the north rule's N -> 4N gate:
+# the SAME build+query job via spark-submit under local-cluster masters
+# with 1 and 4 REAL executor JVMs, reading byte-identical pre-inflated
+# input. Two rungs:
+#   - 1 -> 4 executors x 2 cores (2 -> 8 total cores): below the single
+#     box's memory-bandwidth ceiling -- the rung that evidences the
+#     engine's parallel fraction;
+#   - 1 -> 4 executors x 8 cores (8 -> 32 total cores): the saturated
+#     rung, expected to hit the one-box shared-bus ceiling (documented
+#     in BASELINE.md; a real cluster provides per-executor bandwidth).
+#
+# Usage: scripts/bench_cluster.sh [sfDir] [inflateFactor]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR=${1:-${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}}
+INFLATE=${2:-${SPARK_GRAFT_INFLATE:-100}}
+EXEC_MEM_MB=12288
+SPARK_SUBMIT=/opt/spark/bin/spark-submit
+
+sbt -batch package
+JAR=$(ls target/scala-2.13/similaritysearchjlspark*.jar | head -1)
+
+CORPUS=$(mktemp -du /tmp/graft-cluster-corpus-XXXXXX)
+cleanup() { rm -rf "$CORPUS"; }
+trap cleanup EXIT
+
+# Inflate ONCE (plain local mode) so all cluster sizes read the same bytes.
+"$SPARK_SUBMIT" --master 'local[32]' --driver-memory 16g \
+  --class graft.tools.ClusterBench "$JAR" \
+  --inflate "$SF_DIR" "$INFLATE" "$CORPUS" 2>/dev/null | grep '"inflated"'
+
+run_size() { # $1 = executors, $2 = cores per executor
+  local n=$1 c=$2
+  # -Xms + AlwaysPreTouch on executors: a lazily-grown G1 heap under a
+  # multi-thread allocation storm measured 7-13x slower in round 1 (see
+  # build.sbt javaOptions); spark-submit executors need the same
+  # pre-sizing or the comparison measures heap growth, not the engine.
+  "$SPARK_SUBMIT" \
+    --master "local-cluster[$n,$c,$EXEC_MEM_MB]" \
+    --driver-memory 8g \
+    --conf spark.executor.memory=${EXEC_MEM_MB}m \
+    --conf "spark.executor.extraJavaOptions=-Xms${EXEC_MEM_MB}m -XX:+AlwaysPreTouch" \
+    --class graft.tools.ClusterBench "$JAR" \
+    "$CORPUS" "$SF_DIR" 32 3 "$n" 2>"/tmp/graft-cluster-$n-$c.err" | grep '"executors"'
+}
+
+RESULTS=()
+for cores in 2 8; do
+  echo "== N=1 executor x $cores cores =="
+  LO_JSON=$(run_size 1 "$cores"); echo "$LO_JSON"
+  echo "== N=4 executors x $cores cores =="
+  HI_JSON=$(run_size 4 "$cores"); echo "$HI_JSON"
+  RESULTS+=("$cores" "$LO_JSON" "$HI_JSON")
+done
+
+python3 - "${RESULTS[@]}" <<'EOF'
+import json, sys
+out = {}
+args = sys.argv[1:]
+for i in range(0, len(args), 3):
+    cores, lo, hi = args[i], json.loads(args[i+1]), json.loads(args[i+2])
+    out[f"1to4_executors_x{cores}cores"] = {
+        "executors_lo": lo["executors"], "executors_hi": hi["executors"],
+        "build_lo_sec": lo["build_sec"], "build_hi_sec": hi["build_sec"],
+        "build_efficiency": round(lo["build_sec"] / (hi["build_sec"] * 4), 3),
+        "wand_lo_sec": lo["wand_batch_sec"], "wand_hi_sec": hi["wand_batch_sec"],
+        "query_efficiency": round(lo["wand_batch_sec"] / (hi["wand_batch_sec"] * 4), 3),
+        "docs": hi["docs"]}
+print(json.dumps({"cluster_scaling": out}))
+EOF

@@ -52,7 +52,7 @@ object Bench {
   }
 
   /** Replicate the corpus with shifted doc ids into a temp parquet. */
-  private def inflate(spark: SparkSession, sfDir: String, factor: Int): (String, Long) = {
+  private[graft] def inflate(spark: SparkSession, sfDir: String, factor: Int): (String, Long) = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n0 = docs.agg(max("doc_id")).head().getLong(0) + 1
     val big = docs.crossJoin(
