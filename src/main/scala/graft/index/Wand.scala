@@ -449,10 +449,8 @@ object Wand {
     * streaming registry queries).
     */
   private def localizedResult(df: DataFrame, dirs: String*): DataFrame =
-    try {
-      val rows = df.collect()
-      df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-    } finally {
+    try graft.operators.StreamingOps.localized(df)
+    finally {
       graft.operators.StreamingOps.deleteRec(dirs: _*)
       dirs.foreach(invalidate)
     }

@@ -128,7 +128,10 @@ object DistanceOps {
     val unionSize = na + nb - inter
     val rt0 = lit(1.0) - (lit(RtSigma) - na - nb + lit(2) * inter) /
       (lit(RtSigma) + na + nb - lit(2) * inter).cast("double")
-    val rt = when(unionSize <= lit(RtSigma), rt0)
+    // NULL union (NULL text → NULL token array) is not a violation: it
+    // must stay NULL like every other distance column, matching the
+    // oracle's NULL arithmetic — only a GENUINE |a∪b| > σ fails loudly
+    val rt = when(unionSize.isNull || unionSize <= lit(RtSigma), rt0)
       .otherwise(raise_error(concat(
         lit("RogersTanimoto universe violated: |a union b| = "),
         unionSize.cast("string"), lit(s" > sigma = $RtSigma"))))
@@ -397,8 +400,11 @@ object DistanceOps {
         array_min(col("e")).as("lo"),
         ((array_max(col("e")) - array_min(col("e"))) / levels.toDouble).as("c"))
       .select(col("vec_id"),
+        // c = 0 (constant vector) quantizes exactly to lo; without the
+        // branch, (x−lo)/c = 0/0 = NaN poisons every distance
         transform(col("e"), x =>
-          col("lo") + round((x - col("lo")) / col("c"), 0) * col("c")).as("dq"))
+          when(col("c") === 0d, col("lo"))
+            .otherwise(col("lo") + round((x - col("lo")) / col("c"), 0) * col("c"))).as("dq"))
     VectorOps.fusedExhaustiveKnn(deq, deq, k, "vec_id", "nbr_id")
       .orderBy("vec_id", "rnk")
   }
@@ -408,9 +414,10 @@ object DistanceOps {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |), dq AS (
        |  SELECT vec_id,
-       |         [list_min(e) + round((x - list_min(e)) /
+       |         [CASE WHEN list_max(e) = list_min(e) THEN list_min(e)
+       |               ELSE list_min(e) + round((x - list_min(e)) /
        |            ((list_max(e) - list_min(e)) / $levels.0), 0) *
-       |            ((list_max(e) - list_min(e)) / $levels.0) FOR x IN e] AS d
+       |            ((list_max(e) - list_min(e)) / $levels.0) END FOR x IN e] AS d
        |  FROM e
        |), p AS (
        |  SELECT a.vec_id AS i, b.vec_id AS j,

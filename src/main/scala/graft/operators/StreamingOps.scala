@@ -22,8 +22,11 @@ object StreamingOps {
     val p = java.nio.file.Paths.get(d)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // Files.walk holds open directory handles until closed — the
+      // bench calls this once per op/rep cycle, so rely on close, not GC
+      val walk = java.nio.file.Files.walk(p)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 

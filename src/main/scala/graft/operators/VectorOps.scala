@@ -61,9 +61,15 @@ object VectorOps {
   /** Row counts for the guard, memoized per (table, sfDir): fixture
     * tables are immutable per directory, and the guard used to cost one
     * count() JOB per invocation (rerank alone triggered it 4×) — pure
-    * driver-side latency noise on the query paths.
+    * driver-side latency noise on the query paths. A caller that
+    * REWRITES a corpus directory in-process must call
+    * [[invalidateCounts]] or the guard checks the stale count (same
+    * staleness contract as [[graft.index.Wand.invalidate]]).
     */
   private val countMemo = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  private[graft] def invalidateCounts(sfDir: String): Unit =
+    countMemo.keys.filter(_._2 == sfDir).foreach(countMemo.remove)
 
   private[operators] def embCount(spark: SparkSession, sfDir: String): Long =
     countMemo.getOrElseUpdate(("embeddings", sfDir), Corpus.embeddings(spark, sfDir).count())
@@ -133,6 +139,12 @@ object VectorOps {
     * queries the fused scan is the same answer at a fraction of the
     * cost. Identical output by construction: [[jvmDist]] ≡ distCol
     * bit-for-bit and the heap is the same pinned-tie-rule kernel.
+    *
+    * Driver sizing: the collect+broadcast holds the whole DB on the
+    * driver — ~0.5 GB at the default 1M-row cap with 64-dim doubles —
+    * so a driver below ~2 GB should lower `graft.exact.maxN` to match.
+    * The broadcast is reclaimed by Spark's ContextCleaner once the
+    * returned plan is unreferenced.
     */
   private[operators] def fusedExhaustiveKnn(queries: DataFrame, db: DataFrame,
       k: Int, outGroup: String, outId: String): DataFrame = {
@@ -158,8 +170,12 @@ object VectorOps {
             // KEPT dist rounds to something still strictly worse —
             // skip the BigDecimal round for the ~100% of pairs that
             // can't enter the heap (TopK.threshold is −worstDist
-            // under the negation bridge; −∞ until full ⇒ never skips)
-            if (!(ud - 1e-4 > -TopK.threshold(heap)))
+            // under the negation bridge; −∞ until full ⇒ never skips).
+            // Non-finite dist (NaN/Inf embedding input) is skipped
+            // outright: it can never out-rank a finite pair, and
+            // BigDecimal.valueOf would throw on it
+            if (java.lang.Double.isFinite(ud) &&
+                !(ud - 1e-4 > -TopK.threshold(heap)))
               TopK.insert(heap, nids(j),
                 -(java.math.BigDecimal.valueOf(ud)
                   .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0))

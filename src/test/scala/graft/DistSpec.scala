@@ -118,4 +118,26 @@ class DistSpec extends AnyFunSuite {
     val g = RandomProj.matrix(16, 64)
     assert(q1.map(_.toSeq).toSeq != g.map(_.toSeq).toSeq)
   }
+
+  test("sqMinCKnn: constant vector (c = 0) dequantizes to itself, no NaN distances") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // per-vector (min, c) with max == min gives step c = 0 — the
+    // (x − lo)/c form would emit NaN and poison every pair distance
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqminc-").toString
+    Seq(
+      (0L, Array(0.5f, 0.5f, 0.5f)),            // constant → c = 0
+      (1L, Array(0.1f, 0.5f, 0.9f)),
+      (2L, Array(0.9f, 0.5f, 0.1f))
+    ).toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    try {
+      val r = graft.operators.DistanceOps.sqMinCKnn(spark, dir, k = 3).collect()
+      assert(r.length == 9, "3 vectors x k=3 rows")
+      assert(r.forall(row => !row.getDouble(3).isNaN), "no NaN distances")
+      // the constant vector dequantizes to itself exactly, so its
+      // self-distance is the unquantized 1 − 3·(0.5·0.5) = 0.25
+      assert(r.exists(row => row.getLong(0) == 0L && row.getLong(2) == 0L &&
+        row.getDouble(3) == 0.25))
+    } finally graft.operators.StreamingOps.deleteRec(dir)
+  }
 }
