@@ -48,6 +48,32 @@ object AnnOps {
     (table.toLong << 32) | code
   }
 
+  /** Hyperplanes materialized ONCE as [table][bit][dim] — [[lshCode]]
+    * re-derives every component through splitmix64 per ROW, which put
+    * ~12M hash calls inside a single scan task at n=2000 (~1.5 s of
+    * the q21 wall clock); the matrix is 16×nbits×dim doubles, closure-
+    * shipped. Codes are bit-identical to [[lshCode]] by construction
+    * (same `plane` function tabulated).
+    */
+  private def planeMatrix(tables: Int, nbits: Int, dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, nbits, dim)(plane)
+
+  private def lshCodeFast(e: Array[Double], planes: Array[Array[Array[Double]]],
+      table: Int): Long = {
+    val pt = planes(table)
+    var code = 0L
+    var j = 0
+    while (j < pt.length) {
+      val pj = pt(j)
+      var dot = 0.0
+      var i = 0
+      while (i < e.length) { dot += e(i) * pj(i); i += 1 }
+      if (dot > 0) code |= (1L << j)
+      j += 1
+    }
+    (table.toLong << 32) | code
+  }
+
   /** Mean bucket occupancy the code width is derived for: nbits =
     * clamp(⌈log2(n / TargetBucket)⌉, 4, 24), so buckets hold ~32
     * vectors NO MATTER the corpus size — at n=500 that is 4 bits (16
@@ -83,16 +109,24 @@ object AnnOps {
       tables: Int = 16): DataFrame = {
     import spark.implicits._
     val embds = embDs(spark, sfDir)
-    val bits = if (nbits > 0) nbits else deriveNbits(embds.count())
+    val bits = if (nbits > 0) nbits
+      else deriveNbits(VectorOps.embCount(spark, sfDir))
     // PAYLOAD-FREE bucket join: codes are (id, bucket) longs only — the
     // old form shipped both 64-dim arrays through the bucket join and
     // then distinct()'d the wide rows (multi-table collisions duplicate
     // every pair up to L times). Dedup the id pairs first (two longs per
     // row), then rejoin the embeddings once per SIDE of each surviving
     // pair — two id equi-joins that partition cleanly at any scale.
+    val dim = embds.select(size(col("emb"))).as[Int].first()
+    val planes = planeMatrix(tables, bits, dim)
     val coded = embds.as[(Long, Seq[Double])]
       .flatMap { case (id, e) =>
-        (0 until tables).map(t => (id, lshCode(e, t, bits)))
+        val ea = e.toArray
+        (0 until tables).map(t =>
+          // rows of unexpected width (none in practice) keep the exact
+          // per-component derivation
+          (id, if (ea.length == dim) lshCodeFast(ea, planes, t)
+               else lshCode(e, t, bits)))
       }.toDF("vec_id", "bucket")
     val wCap = Window.partitionBy("bucket").orderBy("vec_id")
     val indexed = coded.withColumn("brn", row_number().over(wCap))

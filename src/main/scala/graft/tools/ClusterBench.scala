@@ -78,7 +78,6 @@ object ClusterBench {
       while (liveExecs() < expectExecs && System.nanoTime() < deadline)
         Thread.sleep(500)
       val execs = liveExecs()
-      val totalCores = spark.sparkContext.defaultParallelism
 
       val wix = java.nio.file.Files.createTempDirectory("graft-cb-warm-").toString
       IndexBuilder.build(spark, warmupDir, wix, numShards = 4)
@@ -97,8 +96,10 @@ object ClusterBench {
       val nDocs = spark.read.parquet(s"$corpusDir/documents.parquet").count()
       graft.operators.StreamingOps.deleteRec(wix +: built.map(_._2): _*)
       // re-sample AFTER the timed work: the honest count of executors
-      // that actually served the job
+      // that actually served the job (defaultParallelism read here too —
+      // it lags registration the same way the listener store does)
       val execsAfter = math.max(execs, liveExecs())
+      val totalCores = spark.sparkContext.defaultParallelism
       println(f"""{"executors":$execsAfter,"total_cores":$totalCores,""" +
         f""""build_sec":$buildSec%.3f,"build_docs_per_sec":${nDocs / buildSec}%.1f,""" +
         f""""wand_batch_sec":$wandSec%.3f,"docs":$nDocs,"reps":$reps}""")
