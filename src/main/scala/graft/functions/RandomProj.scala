@@ -42,7 +42,7 @@ object RandomProj {
     */
   def projCol(emb: Column, outDim: Int, inDim: Int): Column = {
     val m = matrix(outDim, inDim)
-    array(m.map(row => DotF64.dot(emb, lit(row))): _*)
+    array(m.toIndexedSeq.map(row => DotF64.dot(emb, lit(row))): _*)
   }
 
   /** DuckDB fragment: the same projection of `embExpr` (a DOUBLE[]
@@ -95,7 +95,7 @@ object RandomProj {
     */
   def projQRCol(emb: Column, outDim: Int, inDim: Int): Column = {
     val m = matrixQR(outDim, inDim)
-    array(m.map(row => DotF64.dot(emb, lit(row))): _*)
+    array(m.toIndexedSeq.map(row => DotF64.dot(emb, lit(row))): _*)
   }
 
   def duckProjQRSql(embExpr: String, outDim: Int, inDim: Int): String =

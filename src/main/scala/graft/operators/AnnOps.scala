@@ -167,7 +167,7 @@ object AnnOps {
     val cents = CentersOps.fft(spark, sfDir, nl)
       .select("center_id").collect().map(_.getLong(0))
     val cembs = Corpus.embeddings(spark, sfDir)
-      .filter(col("vec_id").isin(cents: _*))
+      .filter(col("vec_id").isin(cents.toIndexedSeq: _*))
       .select(col("vec_id").as("cell"), col("embedding").cast("array<double>").as("cemb"))
     val emb = embDs(spark, sfDir)
     // assignment: nearest-np cells per vector through the shared heap

@@ -64,7 +64,7 @@ object CentersOps {
     val embA = Corpus.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val cembs = Corpus.embeddings(spark, sfDir)
-      .filter(col("vec_id").isin(cents: _*))
+      .filter(col("vec_id").isin(cents.toIndexedSeq: _*))
       .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cemb"))
     // nearest-center argmin via min_by on (dist, center_id) — partial
     // aggregation instead of a per-vector sort over all k centers
