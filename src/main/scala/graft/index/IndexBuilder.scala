@@ -81,8 +81,10 @@ object IndexBuilder {
   final class HintsTopH(h: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         (String, Long, Long, Long, Double), HintState, Seq[HintRow]] {
+    // the engine's one pinned (value DESC, id ASC) total order —
+    // defined once in TopK so the rank-identity tie rule cannot drift
     private def better(tfn1: Double, id1: Long, tfn2: Double, id2: Long): Boolean =
-      tfn1 > tfn2 || (tfn1 == tfn2 && id1 < id2)
+      graft.operators.TopK.better(id1, tfn1, id2, tfn2)
     private def insert(b: HintState, id: Long, tf: Long, dl: Long, tfn: Double): HintState = {
       if (b.size < b.h) {
         b.doc_ids(b.size) = id; b.tfs(b.size) = tf; b.dls(b.size) = dl
@@ -183,9 +185,15 @@ object IndexBuilder {
       case None => docsAll
     }
 
-    // ---- pass 0: corpus stats (tiny driver fetch; partial+final agg, no shuffle)
+    // ---- pass 0: corpus stats (tiny driver fetch; partial+final agg,
+    // no shuffle). The (doc_id, dl) frame is persisted — 16 bytes/row —
+    // because BOTH the stats action here and the norms seal below read
+    // it, and recomputing it is a full tokenize of the corpus (the
+    // build's most expensive linear stage, and the tf path already pays
+    // one tokenize of its own).
     val dl = docs.select(col("doc_id"),
       size(Tokenizer.tokensCol(col("text"))).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val statsRow = dl.agg(
       count(lit(1)).as("n"), sum("dl").as("sum_dl"), max("doc_id").as("maxd")).head()
     val nDocs = statsRow.getLong(0)
@@ -272,6 +280,7 @@ object IndexBuilder {
     }
 
     tfScoped.unpersist(blocking = false)
+    dl.unpersist(blocking = false)
 
     // ---- lineage + metrics from the WRITTEN artifacts, then commit
     commitManifest(spark, paths, snapshotId, parentSnapshot, onlyShards)
@@ -311,7 +320,24 @@ object IndexBuilder {
         col("doc_count"), col("term_count"), col("postings_bytes"),
         lit(parentSnapshot).as("parent_snapshot"))
       .as[ManifestRow]
-    manifest.write.mode(SaveMode.Append).parquet(paths.manifest)
+    // Supersede, don't blindly append: an in-place rebuild of the same
+    // snapshot (SaveMode.Overwrite build, re-merge) would otherwise
+    // accumulate stale duplicate (snapshot, shard) lineage rows with
+    // conflicting doc ranges. The manifest is tiny (shards × snapshots
+    // rows) — collect, drop rows this commit replaces, rewrite.
+    // Resume is preserved: rows for OTHER shards of this snapshot stay.
+    val newRows = manifest.collect().toSeq
+    val committedShards = newRows.map(_.shard).toSet
+    // a FULL build supersedes the snapshot's whole row set (a rebuild
+    // with a different shard count must not leave stale shard rows); a
+    // resume (onlyShards) replaces only the shards it just sealed
+    val oldRows: Seq[ManifestRow] =
+      try spark.read.parquet(paths.manifest).as[ManifestRow].collect().toSeq
+        .filterNot(r => r.snapshot_id == snapshotId &&
+          (onlyShards.isEmpty || committedShards.contains(r.shard)))
+      catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+    (oldRows ++ newRows).toDS().coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(paths.manifest)
 
     val metrics = manifest.flatMap(m => Seq(
       StageMetric(m.snapshot_id, "seal_postings", m.shard, m.doc_count, m.term_count, m.postings_bytes),
@@ -338,11 +364,17 @@ object IndexBuilder {
     }
     val expected = docs.select((col("doc_id") / shardSize).cast("int").as("shard"))
       .distinct().as[Int].collect().toSet
+    // only the expected missing-manifest case means "nothing committed
+    // yet" — a transient read failure must propagate, not silently
+    // trigger a full rebuild
     val done: Set[Int] =
       try spark.read.parquet(paths.manifest)
         .filter(col("snapshot_id") === snapshotId)
         .select("shard").distinct().as[Int].collect().toSet
-      catch { case _: Throwable => Set.empty }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => Set.empty
+        case _: java.io.FileNotFoundException => Set.empty
+      }
     val missing = expected -- done
     if (missing.nonEmpty)
       build(spark, sfDir, indexDir, numShards, snapshotId,
@@ -442,7 +474,9 @@ object IndexBuilder {
     // with corpus size, unlike the postings set this used to hold.)
     val mergedPostings = posts.groupByKey(_.shard)
       .cogroupSorted(norms.groupByKey(_.shard))(col("term"))() { (shard, pIt, nIt) =>
-        val dlMap = new java.util.HashMap[Long, Long]()
+        // boxed value type so a missing key surfaces as null instead of
+        // silently unboxing to 0L (= maximal tfn at seal time)
+        val dlMap = new java.util.HashMap[Long, java.lang.Long]()
         nIt.foreach { nm =>
           val (ids, dls) = IndexFormat.decodeNorms(nm)
           var i = 0
@@ -461,7 +495,11 @@ object IndexBuilder {
             val all = segs.flatMap { case (ds, ts) => ds.zip(ts) }.sortBy(_._1)
             val docIds = all.map(_._1).toArray
             val tfs = all.map(_._2).toArray
-            val dls = docIds.map(d => dlMap.get(d))
+            val dls = docIds.map { d =>
+              val dl = dlMap.get(d)
+              require(dl != null, s"doc $d in postings but missing from norms (shard $shard)")
+              dl.longValue()
+            }
             IndexFormat.seal(shard, term, docIds, tfs, dls, avgdl)
           }
         }
@@ -493,11 +531,17 @@ object IndexBuilder {
 
     // merged hints: union the inputs' H-per-term rows, re-top under the
     // merged avgdl (any subset of docs is a sound θ0 witness set — the
-    // union just keeps the strongest H)
-    topHintsPerTerm(
-        inSnaps.map(s => spark.read.parquet(paths.hints(s))).reduce(_ union _),
-        avgdl)
-      .write.mode(SaveMode.Overwrite).parquet(paths.hints(outSnap))
+    // union just keeps the strongest H). Pre-hints input snapshots have
+    // no sidecar (the query path treats that as "no warm start"); merge
+    // whatever subset exists rather than failing after the postings
+    // were already written.
+    val hintInputs = inSnaps.flatMap { s =>
+      try Some(spark.read.parquet(paths.hints(s)))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+    if (hintInputs.nonEmpty)
+      topHintsPerTerm(hintInputs.reduce(_ union _), avgdl)
+        .write.mode(SaveMode.Overwrite).parquet(paths.hints(outSnap))
 
     commitManifest(spark, paths, outSnap, inSnaps.max, None)
     Wand.invalidate(indexDir)

@@ -56,15 +56,29 @@ object Wand {
   /** One shard-local hit before the final per-query merge. */
   final case class PartialHit(query_id: Int, doc_id: Long, score: Double)
 
-  /** Posting-list cursor with block-skip seek. */
-  final class Cursor(val pl: PostingList, val idf: Double, cost: Costs) {
+  /** Posting-list cursor with block-skip seek.
+    *
+    * `boundScale` keeps the Block-Max bounds SOUND for multi-snapshot
+    * queries: `block_max_tfn` is sealed under the segment's OWN avgdl,
+    * but scoring runs under the avgdl merged across all queried
+    * snapshots, and tfn is increasing in avgdl — a merged avgdl above
+    * the seal-time one makes true contributions exceed the sealed
+    * maxima. The supremum of tfn(tf,dl,avgdl_m)/tfn(tf,dl,avgdl_s)
+    * over all (tf, dl) is exactly avgdl_m/avgdl_s (cross-multiplying
+    * (tf+c+s·dl)/(tf+c+m·dl) ≤ s/m with s = k1·b/avgdl_s reduces to
+    * m ≤ s), so scaling the sealed bounds by
+    * max(1, avgdl_m/avgdl_s) restores a certified upper bound; for the
+    * single-snapshot case the scale is 1 and the bounds stay tight.
+    */
+  final class Cursor(val pl: PostingList, val idf: Double, cost: Costs,
+      boundScale: Double = 1.0) {
     private var block = -1
     private var idx = 0
     private var docs: Array[Long] = _
     private var tfs: Array[Long] = _
     var curDoc: Long = 0L
     var exhausted = false
-    val maxContrib: Double = idf * pl.block_max_tfn.max
+    val maxContrib: Double = idf * pl.block_max_tfn.max * boundScale
 
     private def loadBlock(b: Int): Unit = {
       if (b > block + 1) cost.blocksSkipped += b - block - 1
@@ -75,7 +89,7 @@ object Wand {
     }
     loadBlock(0)
 
-    def blockMaxContrib: Double = idf * pl.block_max_tfn(block)
+    def blockMaxContrib: Double = idf * pl.block_max_tfn(block) * boundScale
     def blockLast: Long = pl.block_last_doc(block)
     def tf: Long = tfs(idx)
 
@@ -184,12 +198,18 @@ object Wand {
     * accumulator add, so hits and metrics come out of ONE shard-eval
     * pass instead of the former lazy-two-views/two-passes shape.
     */
-  private[index] def evalShard(postings: Iterator[PostingList], norms: Iterator[DocNorms],
+  /** @param snapScale per-snapshot Block-Max bound scale
+    *   (max(1, merged avgdl / snapshot avgdl) — see [[Cursor]]); keyed
+    *   by the snapshot id each posting segment was loaded from.
+    */
+  private[index] def evalShard(postings: Iterator[(Long, PostingList)],
+      norms: Iterator[DocNorms],
       queries: Seq[TermQuery], idfMap: Map[String, Double],
       avgdl: Double, theta0: Map[Int, Double] = Map.empty,
-      onCost: (Int, Costs) => Unit = (_, _) => ()): Iterator[PartialHit] = {
-    val byTerm = scala.collection.mutable.HashMap.empty[String, ArrayBuffer[PostingList]]
-    postings.foreach(pl => byTerm.getOrElseUpdate(pl.term, new ArrayBuffer) += pl)
+      onCost: (Int, Costs) => Unit = (_, _) => (),
+      snapScale: Map[Long, Double] = Map.empty): Iterator[PartialHit] = {
+    val byTerm = scala.collection.mutable.HashMap.empty[String, ArrayBuffer[(Long, PostingList)]]
+    postings.foreach(sp => byTerm.getOrElseUpdate(sp._2.term, new ArrayBuffer) += sp)
     if (byTerm.isEmpty) return Iterator.empty
     // merged sorted norms arrays: FULL sort by doc id — unmerged
     // snapshots' doc ranges may interleave arbitrarily within a shard
@@ -209,7 +229,9 @@ object Wand {
     queries.iterator.flatMap { q =>
       val cost = new Costs
       val cursors = q.terms.distinct.flatMap(t =>
-        byTerm.getOrElse(t, ArrayBuffer.empty).map(pl => new Cursor(pl, idfMap(t), cost))).toArray
+        byTerm.getOrElse(t, ArrayBuffer.empty).map { case (snap, pl) =>
+          new Cursor(pl, idfMap(t), cost, snapScale.getOrElse(snap, 1.0))
+        }).toArray
       if (cursors.isEmpty) Iterator.empty
       else {
         val heap = TopK.empty(q.k)
@@ -408,18 +430,31 @@ object Wand {
     val theta0 =
       if (useHints) hintThetas(spark, indexDir, snaps, queries, idfMap, avgdl)
       else Map.empty[Int, Double]
-    val bc = spark.sparkContext.broadcast((queries, idfMap, avgdl, theta0))
+    // per-snapshot Block-Max bound scale (see Cursor): sealed maxima
+    // are tight under their own avgdl; a merged avgdl above it needs
+    // the avgdl-ratio correction to stay an upper bound
+    val snapScale: Map[Long, Double] = stats
+      .map(s => s.snapshot_id -> math.max(1.0, avgdl / s.avgdl)).toMap
+    val bc = spark.sparkContext.broadcast((queries, idfMap, avgdl, theta0, snapScale))
 
-    val posts = IndexBuilder.loadPostings(spark, indexDir, snaps)
-      .filter(col("term").isin(qTerms: _*)) // pushed to parquet row groups
+    // postings tagged with their source snapshot (per-snapshot read so
+    // the term filter still pushes down to parquet row groups)
+    val posts = snaps.map { s =>
+      spark.read.parquet(IndexBuilder.IndexPaths(indexDir).postings(s))
+        .withColumn("shard", col("shard").cast("int"))
+        .filter(col("term").isin(qTerms: _*)) // pushed to parquet row groups
+        .as[PostingList]
+        .map(pl => (s, pl))
+    }.reduce(_ union _)
     val norms = IndexBuilder.loadNorms(spark, indexDir, snaps)
 
-    val partial = posts.groupByKey(_.shard)
+    val partial = posts.groupByKey(_._2.shard)
       .cogroup(norms.groupByKey(_.shard)) { (_, pIt, nIt) =>
-        val (qs, idf, ad, t0) = bc.value
+        val (qs, idf, ad, t0, sc) = bc.value
         evalShard(pIt, nIt, qs, idf, ad, t0,
           (qid, c) => costAcc.foreach(
-            _.add((qid, c.docsScored, c.blocksDecoded, c.blocksSkipped))))
+            _.add((qid, c.docsScored, c.blocksDecoded, c.blocksSkipped))),
+          sc)
       }
     val merged = partial
       .groupByKey(_.query_id).flatMapGroups { (qid, hits) =>

@@ -46,7 +46,12 @@ object TopK {
     */
   final case class State(k: Int, ids: Array[Long], scores: Array[Double], var size: Int)
 
-  def empty(k: Int): State = State(k, new Array[Long](k), new Array[Double](k), 0)
+  def empty(k: Int): State = {
+    // k = 0 would make threshold/insert read scores(0) deep inside an
+    // executor task — reject the capacity at construction instead
+    require(k > 0, s"top-k capacity must be positive, got $k")
+    State(k, new Array[Long](k), new Array[Double](k), 0)
+  }
 
   /** WAND θ: -∞ until the buffer is full, then the k-th best score. */
   @inline def threshold(st: State): Double =

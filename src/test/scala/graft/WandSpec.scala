@@ -184,4 +184,38 @@ class WandSpec extends AnyFunSuite {
     val wand = rows(Wand.topK(spark, d, Seq(1L, 2L)))
     assert(wand == exact)
   }
+
+  test("multi-snapshot with SKEWED per-snapshot avgdl stays rank-exact (bound rescaling)") {
+    // Snapshot 1: short docs (tiny avgdl); snapshot 2: long docs. The
+    // merged query-time avgdl far exceeds snapshot 1's, so its sealed
+    // block_max_tfn UNDER-bounds true contributions unless the cursor
+    // rescales by avgdl_m/avgdl_s — without the rescale, WAND skips
+    // blocks holding true top-k docs from the short-doc snapshot.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wand-skew-corpus-").toString
+    val filler = (1 to 120).map(i => s"filler$i").mkString(" ")
+    val docs = (0L until 200L).map { id =>
+      if (id == 99L) (id, "alpha alpha alpha beta")        // the true #1, LAST in the list
+      else if (id < 99L) (id, "alpha beta")                // short docs, uniform score
+      else (id, s"alpha gamma $filler")                    // long docs drown alpha's tfn
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val d = Files.createTempDirectory("graft-wand-skew-ix-").toString
+    IndexBuilder.build(spark, dir, d, 2, snapshotId = 1L, docIdRange = Some((0L, 100L)))
+    IndexBuilder.build(spark, dir, d, 2, snapshotId = 2L, docIdRange = Some((100L, 10000L)))
+    // k=2: the heap fills with uniform-score early docs, θ rises above
+    // snapshot 1's UNRESCALED sealed bound, and an unsound cursor stops
+    // before ever scoring doc 99 — the strongest hit in the corpus
+    val qs = Seq(TermQuery(7, Seq("alpha", "beta"), 10), TermQuery(8, Seq("alpha"), 2))
+    val kById = qs.map(q => q.query_id -> q.k).toMap
+    val exact = rows(ExactSearch.topK(spark, dir, k = 10, queryTerms =
+      qs.flatMap(q => q.terms.map(t => (q.query_id, t))).toDF("query_id", "term")))
+      .filter { case (qid, rnk, _, _) => rnk <= kById(qid) }
+    assert(exact.exists { case (qid, rnk, doc, _) => qid == 8 && rnk == 1 && doc == 99L },
+      "fixture must place doc 99 at rank 1 for the k=2 query")
+    val wand = rows(Wand.topK(spark, d, Seq(1L, 2L), qs))
+    assert(wand == exact, "skewed-avgdl multi-snapshot WAND diverged from exact")
+    graft.operators.StreamingOps.deleteRec(dir, d)
+  }
 }
