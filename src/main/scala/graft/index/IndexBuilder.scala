@@ -331,8 +331,12 @@ object IndexBuilder {
     // a FULL build supersedes the snapshot's whole row set (a rebuild
     // with a different shard count must not leave stale shard rows); a
     // resume (onlyShards) replaces only the shards it just sealed
+    // existence check first: reading a not-yet-written manifest logs a
+    // full WARN stack per build (and the catch is then only a fallback
+    // for non-local filesystems where the check may race)
     val oldRows: Seq[ManifestRow] =
-      try spark.read.parquet(paths.manifest).as[ManifestRow].collect().toSeq
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(paths.manifest))) Seq.empty
+      else try spark.read.parquet(paths.manifest).as[ManifestRow].collect().toSeq
         .filterNot(r => r.snapshot_id == snapshotId &&
           (onlyShards.isEmpty || committedShards.contains(r.shard)))
       catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
