@@ -126,6 +126,29 @@ object Bench {
     */
   val OpsReps = 2
 
+  /** max/min rep spread above which an op is re-run once and, if still
+    * dispersed, flagged `"noisy"` in the artifact. Warmup + min-of-N
+    * cannot defend against a contended window spanning ALL reps (the
+    * r2/r3 artifacts recorded 8–13× phantom regressions that way); the
+    * artifact must either recover the true number or visibly say it
+    * could not.
+    */
+  val NoisySpread = 3.0
+
+  /** Per-op rep log: every timed rep of every ops-section entry, kept
+    * for the `ops_detail` JSON section so a contended run is VISIBLE in
+    * the artifact instead of masquerading as an engine regression.
+    */
+  private val repLog =
+    scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
+
+  private def logged(name: String, reps: Int)(f: => Unit): Double = {
+    val buf = repLog.getOrElseUpdate(name,
+      scala.collection.mutable.ArrayBuffer.empty[Double])
+    (1 to reps).foreach(_ => buf += time(f)._1)
+    buf.min
+  }
+
   private def minOf(reps: Int)(f: => Unit): Double =
     (1 to reps).map(_ => time(f)._1).min
 
@@ -144,14 +167,23 @@ object Bench {
       "q19_fingerprint", "q21_ann_lsh", "q23_multimodal_meta", "q24_events_window",
       "q32_sq_u4_knn", "q34_random_proj", "q35_cloud_distances", "q36_events_filesink")
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
-    opNames.foreach { name =>
+    def opOnce(name: String): Unit =
       SparkEntry.queries.get(name).foreach { fn =>
-        def once(): Unit =
-          try fn(spark, sfDir).collect()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        once() // warmup
-        queries(name) = minOf(OpsReps)(once())
+        try fn(spark, sfDir).collect()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       }
+    opNames.filter(SparkEntry.queries.contains).foreach { name =>
+      opOnce(name) // warmup
+      queries(name) = logged(name, OpsReps)(opOnce(name))
+    }
+    // dispersion pass: any op whose rep spread exceeds NoisySpread gets
+    // ONE extra rep after the whole loop (a contended window has
+    // usually moved on by then); ops still dispersed carry a "noisy"
+    // flag in ops_detail rather than a phantom regression in the min
+    opNames.filter(SparkEntry.queries.contains).foreach { name =>
+      val rs = repLog(name)
+      if (rs.max / rs.min > NoisySpread)
+        queries(name) = logged(name, 1)(opOnce(name))
     }
     // q03 split: the registry q03 builds a fresh index AND queries it in
     // one call — timed together it conflates build throughput with query
@@ -169,8 +201,12 @@ object Bench {
       val warm = freshIdx() // warmup build
       Wand.topK(spark, warm, Seq(1L)).collect() // warmup query
       var lastIdx = warm
-      val b = minOf(OpsReps) { lastIdx = freshIdx() }
-      val q = minOf(OpsReps)(Wand.topK(spark, lastIdx, Seq(1L)).collect())
+      var b = logged("q03_build", OpsReps) { lastIdx = freshIdx() }
+      var q = logged("q03_query", OpsReps)(Wand.topK(spark, lastIdx, Seq(1L)).collect())
+      if (repLog("q03_build").max / repLog("q03_build").min > NoisySpread)
+        b = logged("q03_build", 1) { lastIdx = freshIdx() }
+      if (repLog("q03_query").max / repLog("q03_query").min > NoisySpread)
+        q = logged("q03_query", 1)(Wand.topK(spark, lastIdx, Seq(1L)).collect())
       queries("q03_build") = b
       queries("q03_query") = q
       queries("q03_bm25_wand") = b + q
@@ -242,6 +278,16 @@ object Bench {
     val total = queries.values.sum - queries.getOrElse("q03_bm25_wand", 0.0)
     val qs = queries.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    // every timed rep of every ops entry + a noisy flag where even the
+    // post-loop extra rep could not close a >NoisySpread dispersion —
+    // the artifact states its own confidence instead of recording a
+    // contended window as an engine regression
+    val noisyOps = repLog.collect {
+      case (n, rs) if rs.max / rs.min > NoisySpread => n }.toSet
+    val opsDetail = repLog.map { case (nm, rs) =>
+      "\"" + nm + "\":{\"reps\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]" +
+        (if (noisyOps(nm)) ",\"noisy\":true" else "") + "}"
+    }.mkString("{", ",", "}")
     val extra =
       f""""build_docs_per_sec":${nDocs / buildHi}%.1f,"wand_queries_per_sec":${20.0 * 1 / wandHi}%.2f,""" +
         f""""query_p50_sec":$p50%.3f,"query_p99_sec":$p99%.3f,""" +
@@ -254,6 +300,7 @@ object Bench {
         f""""selective":{"build_sec":${selective._1}%.3f,"query_sec":${selective._2}%.3f,""" +
         s""""docs_scored":${selective._3._1},"blocks_decoded":${selective._3._2},""" +
         s""""blocks_skipped":${selective._3._3}},""" +
+        s""""ops_detail":$opsDetail,""" +
         f""""inflate":$Inflate,"bench_docs":$nDocs"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")

@@ -99,6 +99,14 @@ object Types {
     * range, doc count, bytes). A build is resumable by diffing the
     * manifest against the shard list and re-running only missing shards.
     */
+  /** `commit_seq` is a per-index monotonic commit counter and
+    * `full_commit` marks commits covering a snapshot's FULL shard set:
+    * together they let the manifest be APPEND-ONLY (crash-safe — a
+    * commit never deletes earlier commit markers) while read-time
+    * dedup ([[graft.index.IndexBuilder.readManifest]]) supersedes
+    * stale rows: a full commit hides all earlier rows of its snapshot,
+    * and per (snapshot, shard) the highest commit_seq wins.
+    */
   final case class ManifestRow(
       snapshot_id: Long,
       segment_id: String,
@@ -108,7 +116,9 @@ object Types {
       doc_count: Long,
       term_count: Long,
       postings_bytes: Long,
-      parent_snapshot: Long)
+      parent_snapshot: Long,
+      commit_seq: Long,
+      full_commit: Boolean)
 
   /** Per-stage build metrics (north rule: "metrics emitted per stage");
     * the analogue of the reference's cost counters `costdist`/`costblk`

@@ -60,7 +60,53 @@ object IndexBuilder {
   /** Hint fan-in per term (see the hints write in [[build]]). */
   val HintsPerTerm = 8
 
+  /** Hint-selection strategy family — the reference ships several hint
+    * callbacks (Random/Disjoint/KDisjoint/Epsilon/KCenters,
+    * /root/reference/src/searchgraph/hints.jl:42-264); the engine's
+    * sidecar schema is strategy-agnostic (any H REAL (doc_id, tf, dl)
+    * witnesses keep the θ warm-start sound), so strategies differ only
+    * in WHICH witnesses they keep.
+    */
+  sealed trait HintStrategy extends Serializable
+
+  /** Default: the H strongest witnesses per term (largest tfn). */
+  case object TopHHints extends HintStrategy
+
+  /** The reference's `EpsilonHints` (hints.jl:181-220: "hints are a
+    * small set of objects having a minimal distance between them")
+    * transferred to the term-witness space: keep up to H witnesses
+    * whose tf-normalizations are pairwise ≥ `eps` apart — an ε-net
+    * over the tfn axis — chosen greedily in (tfn DESC, doc_id ASC)
+    * order from an order-free top-`pool` candidate state (so the net
+    * is deterministic and still map-side combined). Near-duplicate
+    * witness profiles (the same (tf, dl) shape repeated) collapse to
+    * one representative, freeing slots for DIVERSE profiles — the
+    * reference's neardup-over-a-sample intent. tfn is bounded by
+    * k1+1 = 2.2, so eps is an absolute gap on that scale (the
+    * reference's `quantile=0` absolute-ε mode).
+    */
+  final case class EpsilonNetHints(eps: Double = 0.02, pool: Int = 4 * HintsPerTerm)
+      extends HintStrategy
+
   final case class HintRow(doc_id: Long, tf: Long, dl: Long)
+
+  /** Greedy ε-net over candidates already sorted (tfn DESC, doc_id ASC)
+    * — keep a candidate iff its tfn is ≥ eps from every kept tfn; stop
+    * at `h` kept. The strongest witness is always kept (first in
+    * order), so a single-term θ0 never regresses below the top-1 bound.
+    */
+  private[index] def epsilonNet(hs: Seq[HintRow], avgdl: Double, eps: Double,
+      h: Int): Seq[HintRow] = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(HintRow, Double)]
+    val it = hs.iterator
+    while (it.hasNext && kept.size < h) {
+      val r = it.next()
+      val tfn = graft.functions.BM25.tfNorm(r.tf, r.dl, avgdl)
+      if (kept.forall { case (_, t) => math.abs(t - tfn) >= eps })
+        kept += ((r, tfn))
+    }
+    kept.map(_._1).toSeq
+  }
 
   /** Bounded aggregation state for [[HintsTopH]]: the ≤H best
     * (tfn DESC, doc_id ASC) candidates seen so far, plain arrays so the
@@ -124,20 +170,33 @@ object IndexBuilder {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HintRow]]()
   }
 
-  /** (term, doc_id, tf, dl) → the H strongest hint rows per term under
-    * `avgdl`, via [[HintsTopH]] (map-side-combined — head-term safe).
+  /** (term, doc_id, tf, dl) → ≤H hint rows per term under `avgdl`,
+    * selected by `strategy`, via [[HintsTopH]] (map-side-combined —
+    * head-term safe). The ε-net strategy widens the bounded candidate
+    * state to `pool` and applies the net at finish — still ≤pool rows
+    * per (partition, term) shuffle, df-independent.
     */
   private def topHintsPerTerm(df: org.apache.spark.sql.DataFrame,
-      avgdl: Double): org.apache.spark.sql.DataFrame = {
+      avgdl: Double, strategy: HintStrategy = TopHHints): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val poolSize = strategy match {
+      case TopHHints => HintsPerTerm
+      case EpsilonNetHints(_, pool) => pool
+    }
     df.select(col("term"), col("doc_id").cast("long"), col("tf").cast("long"),
         col("dl").cast("long"),
         graft.functions.BM25.tfNormCol(col("tf"), col("dl"), lit(avgdl)).as("tfn"))
       .as[(String, Long, Long, Long, Double)]
       .groupByKey(_._1)
-      .agg(new HintsTopH(HintsPerTerm).toColumn.name("hs"))
-      .flatMap { case (term, hs) => hs.map(r => (term, r.doc_id, r.tf, r.dl)) }
+      .agg(new HintsTopH(poolSize).toColumn.name("hs"))
+      .flatMap { case (term, hs) =>
+        val kept = strategy match {
+          case TopHHints => hs
+          case EpsilonNetHints(eps, _) => epsilonNet(hs, avgdl, eps, HintsPerTerm)
+        }
+        kept.map(r => (term, r.doc_id, r.tf, r.dl))
+      }
       .toDF("term", "doc_id", "tf", "dl")
   }
 
@@ -173,9 +232,19 @@ object IndexBuilder {
       docIdRange: Option[(Long, Long)] = None,
       writeGlobals: Option[Boolean] = None,
       pruneTfnFloor: Option[Double] = None,
-      docsOverride: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
+      docsOverride: Option[org.apache.spark.sql.DataFrame] = None,
+      hintStrategy: HintStrategy = TopHHints): Unit = {
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // overwrite semantics per write, not per session: a FULL build must
+    // STATIC-overwrite its snapshot's partitioned dirs (an in-place
+    // rebuild with a different shard count would otherwise leave STALE
+    // shard partitions behind — dynamic overwrite only replaces the
+    // partitions present in the new data — and stale doc-range shards
+    // double-count their docs at query time, and commitManifest, which
+    // derives lineage from the WRITTEN postings, would commit them);
+    // only the RESUME path (onlyShards) wants dynamic overwrite, to
+    // re-seal just the missing shards without touching committed ones.
+    val overwriteMode = if (onlyShards.isEmpty) "static" else "dynamic"
     val paths = IndexPaths(indexDir)
 
     val docsAll = docsOverride.getOrElse(Corpus.documents(spark, sfDir))
@@ -231,6 +300,7 @@ object IndexBuilder {
       .sortWithinPartitions("shard", "term", "doc_id")
       .mapPartitions(it => sealRuns(it, avgdl))
     sealedPostings.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", overwriteMode)
       .partitionBy("shard").parquet(paths.postings(snapshotId))
 
     // ---- seal norms sidecar
@@ -245,6 +315,7 @@ object IndexBuilder {
       .sortWithinPartitions("shard", "doc_id")
       .mapPartitions(sealNormRuns)
     sealedNorms.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", overwriteMode)
       .partitionBy("shard").parquet(paths.norms(snapshotId))
 
     if (writeGlobals.getOrElse(onlyShards.isEmpty)) {
@@ -275,7 +346,7 @@ object IndexBuilder {
       // corpus; on a resume (onlyShards) fall back to the unscoped plan
       // so the overwritten sidecar still covers every term
       val hintSrc = if (onlyShards.isEmpty) tfScoped.toDF() else tf.toDF()
-      topHintsPerTerm(hintSrc, avgdl)
+      topHintsPerTerm(hintSrc, avgdl, hintStrategy)
         .write.mode(SaveMode.Overwrite).parquet(paths.hints(snapshotId))
     }
 
@@ -313,40 +384,69 @@ object IndexBuilder {
       .toDF("shard", "lists", "bytes")
       .groupBy("shard")
       .agg(sum("lists").as("term_count"), sum("bytes").as("postings_bytes"))
+    // APPEND-ONLY commit (crash-safe + concurrent-safe: Spark's parquet
+    // Append never deletes earlier commit markers — the former
+    // collect + whole-dir Overwrite could destroy EVERY snapshot's
+    // lineage if the process died between the delete and the write,
+    // and two builds into the same index dir raced read-modify-write).
+    // Staleness is resolved at READ time instead ([[readManifest]]):
+    // this commit gets commit_seq = 1 + the highest committed so far
+    // (one tiny read of an already-tiny table), and full_commit marks
+    // whether it covers the snapshot's entire shard set. Two CONCURRENT
+    // commits can draw the same seq, but only commits to the SAME
+    // snapshot contend on it — and concurrent same-snapshot builds are
+    // already undefined at the segment layer (both Overwrite the same
+    // parquet partitions).
+    val seq = 1L + rawManifest(spark, paths).map(_.commit_seq).foldLeft(0L)(math.max)
     val manifest = docRange.join(postAgg, "shard")
       .select(lit(snapshotId).as("snapshot_id"),
         concat(lit(s"snap-$snapshotId-shard-"), col("shard")).as("segment_id"),
         col("shard").cast("int"), col("min_doc"), col("max_doc"),
         col("doc_count"), col("term_count"), col("postings_bytes"),
-        lit(parentSnapshot).as("parent_snapshot"))
+        lit(parentSnapshot).as("parent_snapshot"),
+        lit(seq).as("commit_seq"),
+        lit(onlyShards.isEmpty).as("full_commit"))
       .as[ManifestRow]
-    // Supersede, don't blindly append: an in-place rebuild of the same
-    // snapshot (SaveMode.Overwrite build, re-merge) would otherwise
-    // accumulate stale duplicate (snapshot, shard) lineage rows with
-    // conflicting doc ranges. The manifest is tiny (shards × snapshots
-    // rows) — collect, drop rows this commit replaces, rewrite.
-    // Resume is preserved: rows for OTHER shards of this snapshot stay.
-    val newRows = manifest.collect().toSeq
-    val committedShards = newRows.map(_.shard).toSet
-    // a FULL build supersedes the snapshot's whole row set (a rebuild
-    // with a different shard count must not leave stale shard rows); a
-    // resume (onlyShards) replaces only the shards it just sealed
-    // existence check first: reading a not-yet-written manifest logs a
-    // full WARN stack per build (and the catch is then only a fallback
-    // for non-local filesystems where the check may race)
-    val oldRows: Seq[ManifestRow] =
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(paths.manifest))) Seq.empty
-      else try spark.read.parquet(paths.manifest).as[ManifestRow].collect().toSeq
-        .filterNot(r => r.snapshot_id == snapshotId &&
-          (onlyShards.isEmpty || committedShards.contains(r.shard)))
-      catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
-    (oldRows ++ newRows).toDS().coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(paths.manifest)
+    manifest.coalesce(1).write.mode(SaveMode.Append).parquet(paths.manifest)
 
     val metrics = manifest.flatMap(m => Seq(
       StageMetric(m.snapshot_id, "seal_postings", m.shard, m.doc_count, m.term_count, m.postings_bytes),
       StageMetric(m.snapshot_id, "seal_norms", m.shard, m.doc_count, m.doc_count, 0L)))
     metrics.write.mode(SaveMode.Append).parquet(paths.metrics)
+  }
+
+  /** Every manifest row as appended, duplicates included. Existence is
+    * probed through the Hadoop FileSystem of the path itself (NOT
+    * java.nio — on hdfs:// or s3a:// a local-FS check is always false),
+    * with the AnalysisException/FileNotFoundException catch as the
+    * "no manifest yet" fallback where the probe can race a writer.
+    */
+  private def rawManifest(spark: SparkSession, paths: IndexPaths): Seq[ManifestRow] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(paths.manifest)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else try spark.read.parquet(paths.manifest).as[ManifestRow].collect().toSeq
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => Seq.empty
+      case _: java.io.FileNotFoundException => Seq.empty
+    }
+  }
+
+  /** The manifest's CURRENT lineage view — append-only rows with
+    * staleness resolved here: (1) a snapshot's rows older than its
+    * latest full commit are superseded (an in-place full rebuild, or a
+    * rebuild with a different shard count, hides every earlier row);
+    * (2) per (snapshot, shard) the highest commit_seq wins (a resume
+    * re-seal of one shard supersedes only that shard's row).
+    */
+  def readManifest(spark: SparkSession, indexDir: String): Seq[ManifestRow] = {
+    val raw = rawManifest(spark, IndexPaths(indexDir))
+    raw.groupBy(_.snapshot_id).values.flatMap { rows =>
+      val fullSeq = rows.filter(_.full_commit).map(_.commit_seq).foldLeft(0L)(math.max)
+      rows.filter(_.commit_seq >= fullSeq)
+        .groupBy(_.shard).values.map(_.maxBy(_.commit_seq))
+    }.toSeq.sortBy(r => (r.snapshot_id, r.shard))
   }
 
   /** Resume an interrupted build: diff the manifest against the shard
@@ -368,17 +468,11 @@ object IndexBuilder {
     }
     val expected = docs.select((col("doc_id") / shardSize).cast("int").as("shard"))
       .distinct().as[Int].collect().toSet
-    // only the expected missing-manifest case means "nothing committed
-    // yet" — a transient read failure must propagate, not silently
-    // trigger a full rebuild
-    val done: Set[Int] =
-      try spark.read.parquet(paths.manifest)
-        .filter(col("snapshot_id") === snapshotId)
-        .select("shard").distinct().as[Int].collect().toSet
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => Set.empty
-        case _: java.io.FileNotFoundException => Set.empty
-      }
+    // the DEDUPED lineage view: stale shard rows from a superseded full
+    // build (e.g. a rebuild with a different shard count) must not
+    // count as "done"
+    val done: Set[Int] = readManifest(spark, indexDir)
+      .filter(_.snapshot_id == snapshotId).map(_.shard).toSet
     val missing = expected -- done
     if (missing.nonEmpty)
       build(spark, sfDir, indexDir, numShards, snapshotId,
@@ -446,6 +540,47 @@ object IndexBuilder {
       spark.read.parquet(IndexPaths(indexDir).stats(s)).as[SnapStats].collect())
   }
 
+  /** The reference's log-growth callbacks scheduler transferred
+    * (`execute_callbacks!`, /root/reference/src/searchgraph/callbacks.jl:8-13,
+    * defaults /root/reference/src/searchgraph/context.jl:55-75): fire
+    * maintenance iff the index grew across a `ceil(log_b ·)` boundary —
+    * for a batch append [sp, ep] the reference tests
+    * `sp ≥ starting && ceil(log_b sp) != ceil(log_b ep)`
+    * (insertions.jl:96). `docsBefore`/`docsAfter` are the index's doc
+    * counts around the append; sp = docsBefore + 1 reproduces the
+    * reference's batch form exactly.
+    */
+  def crossesGrowthBoundary(docsBefore: Long, docsAfter: Long,
+      logbase: Double = 1.5, starting: Long = 256): Boolean = {
+    val sp = docsBefore + 1
+    def ceilLog(x: Long): Long = math.ceil(math.log(x.toDouble) / math.log(logbase)).toLong
+    sp >= starting && ceilLog(sp) != ceilLog(docsAfter)
+  }
+
+  /** Growth-triggered compaction — the scheduler's two callbacks
+    * (hints recompute + stats/hyperparameter refresh, the reference's
+    * `hints_callback`/`hyperparameters_callback`) both happen EXACTLY
+    * at merge in this engine ([[mergeSnapshots]] recomputes stats,
+    * termstats/idf, and the hints sidecar from the merged postings), so
+    * "fire callbacks" = "compact the live snapshots". Call after
+    * appending `newSnap`; merges `liveSnaps :+ newSnap → outSnap` iff
+    * the append crossed a log-growth boundary. Returns whether it
+    * fired. Snapshot-count growth stays logarithmic in corpus size —
+    * the LSM discipline that keeps multi-snapshot query fan-in bounded.
+    */
+  def maybeCompact(spark: SparkSession, indexDir: String,
+      liveSnaps: Seq[Long], newSnap: Long, outSnap: Long, numShards: Int,
+      logbase: Double = 1.5, starting: Long = 256,
+      hintStrategy: HintStrategy = TopHHints): Boolean = {
+    val before = if (liveSnaps.isEmpty) 0L
+      else loadStats(spark, indexDir, liveSnaps).map(_.n_docs).sum
+    val after = before + loadStats(spark, indexDir, Seq(newSnap)).map(_.n_docs).sum
+    val fire = crossesGrowthBoundary(before, after, logbase, starting)
+    if (fire && liveSnaps.nonEmpty)
+      mergeSnapshots(spark, indexDir, liveSnaps :+ newSnap, outSnap, numShards, hintStrategy)
+    fire && liveSnaps.nonEmpty
+  }
+
   /** Log-structured multi-way segment merge (the reference's `rebuild`
     * compaction, /root/reference/src/searchgraph/rebuild.jl:17-53, and
     * `StaticAdjList` freeze): co-partition the COMPRESSED segments of
@@ -456,9 +591,9 @@ object IndexBuilder {
     * (MergeSpec pins this, incl. idempotence + associativity).
     */
   def mergeSnapshots(spark: SparkSession, indexDir: String,
-      inSnaps: Seq[Long], outSnap: Long, numShards: Int): Unit = {
+      inSnaps: Seq[Long], outSnap: Long, numShards: Int,
+      hintStrategy: HintStrategy = TopHHints): Unit = {
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val paths = IndexPaths(indexDir)
     val statsIn = loadStats(spark, indexDir, inSnaps)
     val nDocs = statsIn.map(_.n_docs).sum
@@ -508,7 +643,12 @@ object IndexBuilder {
           }
         }
       }
+    // STATIC overwrite: a merge always writes outSnap's FULL shard set,
+    // and a re-merge into the same outSnap with a different shard count
+    // must not leave stale shard partitions (same hazard as build's
+    // in-place rebuild — stale doc-range shards double-count)
     mergedPostings.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
       .partitionBy("shard").parquet(paths.postings(outSnap))
 
     val mergedNorms = norms.groupByKey(_.shard).mapGroups { (shard, nIt) =>
@@ -519,6 +659,7 @@ object IndexBuilder {
       IndexFormat.sealNorms(shard, all.map(_._1), all.map(_._2))
     }
     mergedNorms.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
       .partitionBy("shard").parquet(paths.norms(outSnap))
 
     // merged term stats: df/cf add exactly; idf from merged n
@@ -544,8 +685,17 @@ object IndexBuilder {
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
     if (hintInputs.nonEmpty)
-      topHintsPerTerm(hintInputs.reduce(_ union _), avgdl)
+      topHintsPerTerm(hintInputs.reduce(_ union _), avgdl, hintStrategy)
         .write.mode(SaveMode.Overwrite).parquet(paths.hints(outSnap))
+    else {
+      // no input has a sidecar: DELETE any stale sidecar a prior merge
+      // left at this outSnap path — hintThetas over witness docs absent
+      // from the new index could exceed the true k-th best score and
+      // unsoundly prune true hits; absent sidecar = "no warm start"
+      val hp = new org.apache.hadoop.fs.Path(paths.hints(outSnap))
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
 
     commitManifest(spark, paths, outSnap, inSnaps.max, None)
     Wand.invalidate(indexDir)

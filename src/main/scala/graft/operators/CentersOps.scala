@@ -54,6 +54,73 @@ object CentersOps {
       .orderBy("rnk")
   }
 
+  /** Scale-path center training for [[AnnOps.annIvf]]: [[fft]] is
+    * inherently k sequential driver-coordinated Spark jobs (the
+    * reference's loop, /root/reference/src/fft.jl:21-64), so at derived
+    * nlist=4096 full-corpus training is the dominant ANN build cost —
+    * up to 4096 sequential jobs over 10^9 rows. Here the SAME
+    * farthest-first selection runs as ONE Spark job (collect a
+    * deterministic bounded sample — vec_id stride, no RNG state) plus a
+    * driver-local O(k·|sample|·d) loop with a running nearest-center
+    * array: zero per-center jobs. The reference itself trains/tunes on
+    * bounded samples (64 probe queries, /root/reference/src/opt.jl:148).
+    * Cell ASSIGNMENT stays distributed (broadcast join in annIvf) —
+    * only training is sampled, so candidate work per query is unchanged.
+    *
+    * When the sample covers the whole corpus (n ≤ sampleFactor·k) the
+    * selection is IDENTICAL to [[fft]] by construction: same seed
+    * (smallest id — vec_id 0 on the fixtures), the same rounded
+    * distance ([[VectorOps.jvmDist]] ≡ distCol bit-for-bit), and the
+    * same farthest/ties-to-smallest-id rule.
+    */
+  def fftSampled(spark: SparkSession, sfDir: String, k: Int,
+      sampleFactor: Int = 16): Array[Long] = {
+    import spark.implicits._
+    val emb = Corpus.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val n = VectorOps.embCount(spark, sfDir)
+    val target = math.max(64L, sampleFactor.toLong * k)
+    val stride = math.max(1L, n / target)
+    val sample = emb.filter(col("vec_id") % stride === 0)
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, e) => (id, e.toArray) }
+      .sortBy(_._1)
+    fftLocal(sample, k)
+  }
+
+  /** Driver-local farthest-first over a materialized sample — the exact
+    * [[fft]] recurrence (seed = first point, then repeatedly the point
+    * farthest from its nearest chosen center, ties → smallest id) with
+    * a running nearest-distance array, O(k·n·d) total.
+    */
+  private[operators] def fftLocal(pts: Array[(Long, Array[Double])], k: Int): Array[Long] = {
+    require(pts.nonEmpty, "fftLocal: empty training sample")
+    val n = pts.length
+    val kk = math.min(k, n)
+    val centers = new Array[Long](kk)
+    centers(0) = pts(0)._1
+    val nn = Array.fill(n)(Double.PositiveInfinity)
+    var cvec = pts(0)._2
+    var ci = 1
+    while (ci < kk) {
+      var best = -1
+      var bestD = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        val d = VectorOps.jvmDist(pts(i)._2, cvec)
+        if (d < nn(i)) nn(i) = d
+        // strict > + ascending-id scan ⇒ ties keep the smallest id,
+        // the same rule as fft's (nn_dist DESC, vec_id ASC) head()
+        if (nn(i) > bestD) { bestD = nn(i); best = i }
+        i += 1
+      }
+      centers(ci) = pts(best)._1
+      cvec = pts(best)._2
+      ci += 1
+    }
+    centers
+  }
+
   /** Final center assignment after [[fft]]: every point's nearest
     * center (nn) and distance — the reference's `(centers, nn, dists,
     * dmax)` return shape.

@@ -3,7 +3,6 @@ package graft.operators
 import graft.analysis.Tokenizer
 import graft.corpus.Corpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's scalar distance library (SURVEY.md §2.4,

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.index.{IndexBuilder, IndexFormat}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Q20 `sparse(adj)` export (/root/reference/src/adj/Adj.jl:108-157):
@@ -47,9 +46,12 @@ object IndexExport {
     * record the north rule requires is itself under the DuckDB gate.
     */
   def manifestExport(spark: SparkSession, sfDir: String, numShards: Int = 4): DataFrame = {
+    import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest-").toString
     IndexBuilder.build(spark, sfDir, dir, numShards = numShards)
-    val out = spark.read.parquet(s"$dir/manifest")
+    // the DEDUPED lineage view (append-only manifest; readManifest
+    // supersedes stale rows) — the oracle checks the CURRENT lineage
+    val out = IndexBuilder.readManifest(spark, dir).toDS()
       .select(col("shard").cast("int"), col("min_doc").cast("long"),
         col("max_doc").cast("long"), col("doc_count").cast("long"),
         col("term_count").cast("long"))

@@ -39,7 +39,32 @@ object StreamingOps {
       java.util.Arrays.asList(rows: _*), df.schema)
   }
 
-  def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Run `f` with streaming-friendly session conf, restored after: 8
+    * state partitions and no checkpoint checksum sidecars. The registry
+    * streaming queries drive 2 AvailableNow runs over a fixture-scale
+    * input through a throwaway checkpoint; at the session's 32 shuffle
+    * partitions each run churns 32 state-store delta/snapshot (+
+    * checksum twin) files PER stateful operator — the measured floor is
+    * checkpoint file I/O, not aggregation. The state partition count is
+    * pinned at checkpoint CREATION, so the override only shapes the
+    * temp checkpoints these queries stage themselves; a production
+    * ingest keeps its own sizing.
+    */
+  private def withStreamConf[A](spark: SparkSession)(f: => A): A = {
+    val conf = spark.conf
+    def restore(k: String, old: Option[String]): Unit =
+      old.fold(conf.unset(k))(v => conf.set(k, v))
+    val kp = "spark.sql.shuffle.partitions"
+    val kc = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val savedP = conf.getOption(kp)
+    val savedC = conf.getOption(kc)
+    conf.set(kp, "8")
+    conf.set(kc, "false")
+    try f finally { restore(kp, savedP); restore(kc, savedC) }
+  }
+
+  def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame =
+      withStreamConf(spark) {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // the streaming file source wants a directory; stage the fixture
@@ -72,6 +97,9 @@ object StreamingOps {
       .orderBy("window_start", "event_type")
   }
 
+  def windowedEventCountsFileSink(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamConf(spark)(windowedEventCountsFileSinkImpl(spark, sfDir))
+
   /** The REAL-INGEST shape of [[windowedEventCounts]]: append-mode
     * parquet sink + checkpoint, in two AvailableNow runs. Run 1
     * aggregates the fixture but emits nothing (append mode only emits a
@@ -83,7 +111,7 @@ object StreamingOps {
     * to the sink. Output therefore equals the batch oracle over the
     * original events (the sentinel's own window is never finalized).
     */
-  def windowedEventCountsFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+  private def windowedEventCountsFileSinkImpl(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val stageDir = java.nio.file.Files.createTempDirectory("graft-ingest-")
@@ -225,7 +253,10 @@ object StreamingOps {
     * original events (the sentinel's own open session never emits and
     * is filtered defensively).
     */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamConf(spark)(sessionizeImpl(spark, sfDir))
+
+  private def sessionizeImpl(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema

@@ -52,7 +52,9 @@ object Registry {
     "q38_hsp_distal" -> ((s, dir) => graft.operators.CentersOps.hspDistal(s, dir)),
     "q39_sq_minc_knn" -> ((s, dir) => graft.operators.DistanceOps.sqMinCKnn(s, dir)),
     "q40_random_proj_qr" -> ((s, dir) => graft.operators.VectorOps.randomProjQR(s, dir)),
-    "q41_wand_from_pages" -> ((s, dir) => graft.index.Wand.topKOnPagesCorpus(s, dir))
+    "q41_wand_from_pages" -> ((s, dir) => graft.index.Wand.topKOnPagesCorpus(s, dir)),
+    "q42_wand_eps_hints" -> ((s, dir) => graft.index.Wand.topKOnCorpusEpsHints(s, dir)),
+    "q43_wand_scheduled" -> ((s, dir) => graft.index.Wand.topKOnScheduledIngest(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -99,6 +101,12 @@ object Registry {
     "q40_random_proj_qr" -> graft.operators.VectorOps.randomProjQROracleSql,
     // url→html→extract→index→WAND must answer exactly like an index
     // over the carried text (north-rule extraction invariant)
-    "q41_wand_from_pages" -> graft.operators.ExactSearch.oracleSql()
+    "q41_wand_from_pages" -> graft.operators.ExactSearch.oracleSql(),
+    // hint strategies are a θ warm-start only: an ε-net sidecar must
+    // leave WAND results identical to the exhaustive scorer
+    "q42_wand_eps_hints" -> graft.operators.ExactSearch.oracleSql(),
+    // scheduler-managed ingest (log-growth compaction) must answer
+    // exactly like one full build
+    "q43_wand_scheduled" -> graft.operators.ExactSearch.oracleSql()
   )
 }

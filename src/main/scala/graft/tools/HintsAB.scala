@@ -5,12 +5,76 @@ import graft.functions.BM25
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** A/B the hints top-H pass: codegen'd full-term window vs the
-  * skew-safe HintsTopH typed aggregator, on an inflated corpus.
-  * Usage: runMain graft.tools.HintsAB <sfDir> <inflate> <cores>
+/** A/B harnesses for the hints sidecar.
+  *
+  * Build-pass mode (`runMain graft.tools.HintsAB <sfDir> <inflate> <cores>`):
+  * codegen'd full-term window vs the skew-safe HintsTopH typed
+  * aggregator, on an inflated corpus.
+  *
+  * Strategy mode (`runMain graft.tools.HintsAB strategies <sfDir> [cores]`):
+  * docs-scored comparison of the θ warm-start under TopHHints vs
+  * EpsilonNetHints vs no hints, on the fixed query set AND the
+  * selective needle+hay workload (the two sets the round-3 verdict
+  * names) — the observable that decides which witness-selection rule
+  * prunes more.
   */
 object HintsAB {
+
+  private def strategies(sfDir: String, cores: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.index.{IndexBuilder, Wand}
+    def cost(ix: String, qs: Seq[graft.core.Types.TermQuery], useHints: Boolean) = {
+      val m = Wand.topKWithMetrics(spark, ix, Seq(1L), qs, useHints)._2.collect()
+      (m.map(_.getLong(1)).sum, m.map(_.getLong(2)).sum, m.map(_.getLong(3)).sum)
+    }
+    // the selective workload from Bench: one df=0.1% needle over a
+    // universal base vocabulary — where θ-pruning can actually fire
+    val selDir = java.nio.file.Files.createTempDirectory("graft-hints-sel-").toString
+    val base = "hay wheat barley rye oat corn spelt millet"
+    spark.range(100000).select(col("id").as("doc_id"),
+        when(col("id") % 1000 === 0, lit(s"needle $base")).otherwise(lit(base)).as("text"))
+      .repartition(cores)
+      .write.mode(SaveMode.Overwrite).parquet(s"$selDir/documents.parquet")
+    val selQs = Seq(graft.core.Types.TermQuery(0, Seq("needle", "hay"), 5))
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      Seq[(String, graft.index.IndexBuilder.HintStrategy)](
+        "topH" -> IndexBuilder.TopHHints,
+        "epsNet" -> IndexBuilder.EpsilonNetHints()).foreach { case (nm, strat) =>
+        val fixedIx = java.nio.file.Files.createTempDirectory(s"graft-hab-$nm-").toString
+        val selIx = java.nio.file.Files.createTempDirectory(s"graft-hab-sel-$nm-").toString
+        dirs += fixedIx; dirs += selIx
+        IndexBuilder.build(spark, sfDir, fixedIx, numShards = 4, hintStrategy = strat)
+        IndexBuilder.build(spark, selDir, selIx, numShards = cores, hintStrategy = strat)
+        val f = cost(fixedIx, graft.queries.QuerySet.queries, useHints = true)
+        val s = cost(selIx, selQs, useHints = true)
+        println(s"[ab] $nm fixed-set: docs_scored=${f._1} decoded=${f._2} skipped=${f._3}")
+        println(s"[ab] $nm selective: docs_scored=${s._1} decoded=${s._2} skipped=${s._3}")
+        if (nm == "topH") {
+          val f0 = cost(fixedIx, graft.queries.QuerySet.queries, useHints = false)
+          val s0 = cost(selIx, selQs, useHints = false)
+          println(s"[ab] none fixed-set: docs_scored=${f0._1} decoded=${f0._2} skipped=${f0._3}")
+          println(s"[ab] none selective: docs_scored=${s0._1} decoded=${s0._2} skipped=${s0._3}")
+        }
+      }
+    } finally {
+      graft.operators.StreamingOps.deleteRec(dirs.toSeq: _*)
+      graft.operators.StreamingOps.deleteRec(selDir)
+      spark.stop()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "strategies") {
+      strategies(args(1), if (args.length > 2) args(2).toInt else 8)
+      return
+    }
     val sfDir = args(0)
     val inflate = args(1).toInt
     val cores = args(2).toInt

@@ -34,6 +34,34 @@ class AnnSpec extends AnyFunSuite {
     assert(r >= 0.8, f"IVF recall $r%.4f below the reference gate")
   }
 
+  test("IVF sampled center training: full-sample ≡ distributed fft; genuinely sampled recall ≥ 0.8 at nlist ≥ 64") {
+    val spark = TestSpark.spark
+    import graft.operators.CentersOps
+    // sample covering the whole corpus → selection IDENTICAL to the
+    // oracled k-job fft (same seed, rounded distance, tie rule)
+    val viaFft = CentersOps.fft(spark, dir, 8)
+      .select("center_id").collect().map(_.getLong(0)).toSeq
+    val viaSampled = CentersOps.fftSampled(spark, dir, 8, sampleFactor = 1000).toSeq
+    assert(viaSampled == viaFft, s"full-sample fftSampled $viaSampled != fft $viaFft")
+    // factor 2 at nlist=64 over n=500 → stride > 1: training genuinely
+    // runs on a strict subset, the 100×-scale path — recall gate holds
+    val ivf = AnnOps.annIvf(spark, dir, k, nlist = 64, sampleFactor = 2).cache()
+    val r = AnnOps.macrorecall(gold, ivf, k)
+    info(f"ivf sampled-training macrorecall = $r%.4f")
+    assert(r >= 0.8, f"sampled-training IVF recall $r%.4f below the reference gate")
+  }
+
+  test("LSH ANN: empty embeddings table → empty result, not an exception") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val empty = java.nio.file.Files.createTempDirectory("graft-ann-empty-").toString
+    try {
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+        .write.parquet(s"$empty/embeddings.parquet")
+      assert(AnnOps.annLsh(spark, empty, k).count() == 0)
+    } finally graft.operators.StreamingOps.deleteRec(empty)
+  }
+
   test("recall metric: rerank-vs-gold macrorecall in (0, 1]") {
     val spark = TestSpark.spark
     val r = AnnOps.recallReport(spark, dir, k).head().getDouble(0)

@@ -140,6 +140,40 @@ class WandSpec extends AnyFunSuite {
     assert(on._1 < off._1, "warm-start must strictly reduce scored docs on a selective query")
   }
 
+  test("EpsilonNetHints: sidecar is an ε-net, warm-start stays sound, pruning parity with top-H") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val strat = IndexBuilder.EpsilonNetHints()
+    val d = Files.createTempDirectory("graft-hints-eps-").toString
+    IndexBuilder.build(spark, TestSpark.Sf0001, d, numShards = 4,
+      hintStrategy = strat)
+    // sidecar shape: ≤H rows/term, pairwise tfn gaps ≥ eps within a term
+    val avgdl = IndexBuilder.loadStats(spark, d, Seq(1L)).head.avgdl
+    val byTerm = spark.read.parquet(s"$d/hints/snap=1")
+      .select("term", "tf", "dl").as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    byTerm.foreach { case (t, rows) =>
+      assert(rows.length <= IndexBuilder.HintsPerTerm, s"term $t: ${rows.length} hints")
+      val tfns = rows.map(r => graft.functions.BM25.tfNorm(r._2, r._3, avgdl))
+      for (i <- tfns.indices; j <- 0 until i)
+        assert(math.abs(tfns(i) - tfns(j)) >= strat.eps,
+          f"term $t: tfn gap ${math.abs(tfns(i) - tfns(j))}%.4f < eps ${strat.eps}")
+    }
+    // soundness: ε-net warm-start cannot change results (any real
+    // witnesses give a valid θ0 lower bound), and never scores MORE
+    // docs than no warm-start at all
+    val (hitsOn, mOn) = Wand.topKWithMetrics(spark, d, Seq(1L), useHints = true)
+    val (hitsOff, mOff) = Wand.topKWithMetrics(spark, d, Seq(1L), useHints = false)
+    assert(rows(hitsOn) == rows(hitsOff), "ε-net warm-start changed results")
+    def scored(mdf: org.apache.spark.sql.DataFrame): Long =
+      mdf.collect().map(_.getLong(1)).sum
+    val (eps, none) = (scored(mOn), scored(mOff))
+    // parity report vs top-H on the SAME corpus (the shared index)
+    val topH = scored(Wand.topKWithMetrics(spark, indexDir, Seq(1L), useHints = true)._2)
+    info(s"docs scored: epsNet=$eps topH=$topH none=$none")
+    assert(eps <= none, "ε-net hints may never cost more than no hints")
+  }
+
   test("static index pruning: tfn-floor build trades size for recall ≥ 0.9") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -169,6 +203,29 @@ class WandSpec extends AnyFunSuite {
       f"macro-recall $macroRecall%.3f")
     assert(macroRecall >= 0.9,
       f"pruned-index recall $macroRecall%.3f < 0.9 at floor 1.05")
+  }
+
+  test("optimize_index! on the primary index: MinRecall(0.9) picks the cheapest passing floor") {
+    val spark = TestSpark.spark
+    import graft.operators.AnnOps
+    val floors = Seq(0.0, 0.8, 1.05, 1.3)
+    val (chosen, ladder) = AnnOps.tunedPrunedIndex(spark, TestSpark.Sf0001,
+      floors, target = 0.9)
+    info(ladder.map(c =>
+      f"floor=${c.floor}%.2f recall=${c.recall}%.3f cost=${c.cost}%.3f").mkString("; "))
+    // cost (surviving postings fraction) strictly decreases up the floor
+    // ladder, and the exact index has cost 1 / recall 1
+    assert(ladder.head.cost == 1.0 && ladder.head.recall == 1.0)
+    assert(ladder.map(_.cost).sliding(2).forall(p => p.head > p.last),
+      s"postings fraction must drop with the floor: ${ladder.map(_.cost)}")
+    // the goal: recall ≥ target, and no CHEAPER (higher-floor, fewer
+    // postings) config also passes — minimality, the optbs.jl contract
+    assert(chosen.recall >= 0.9, s"chosen $chosen misses the MinRecall target")
+    assert(!ladder.exists(c => c.cost < chosen.cost && c.recall >= 0.9),
+      s"a cheaper passing floor exists: $ladder")
+    // the dial is real: the chosen config should NOT be the trivial
+    // exact index (the fixture frontier keeps ≥ 0.9 at floor ≥ 0.8)
+    assert(chosen.floor > 0.0, s"tuner fell back to the exact index: $ladder")
   }
 
   test("multi-snapshot (unmerged segments) query ≡ single-snapshot query") {
