@@ -60,6 +60,18 @@ object IndexBuilder {
   /** Hint fan-in per term (see the hints write in [[build]]). */
   val HintsPerTerm = 8
 
+  /** Phase timer for fixed-cost profiling (`-Dgraft.profile.build`):
+    * the build's scaling efficiency at small corpora is bounded by
+    * per-phase driver choreography, so each phase is measurable. */
+  @inline private def phase[A](name: String)(f: => A): A = {
+    if (!sys.props.contains("graft.profile.build")) f
+    else {
+      val t0 = System.nanoTime(); val a = f
+      println(f"[build-phase] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      a
+    }
+  }
+
   /** Hint-selection strategy family — the reference ships several hint
     * callbacks (Random/Disjoint/KDisjoint/Epsilon/KCenters,
     * /root/reference/src/searchgraph/hints.jl:42-264); the engine's
@@ -88,24 +100,53 @@ object IndexBuilder {
   final case class EpsilonNetHints(eps: Double = 0.02, pool: Int = 4 * HintsPerTerm)
       extends HintStrategy
 
+  /** The reference's `RandomHints` (hints.jl:42-75: "hints are a
+    * random sample of the dataset") on the term-witness space: rank
+    * witnesses by `xxhash64(doc_id, seed)` instead of tfn, so the kept
+    * top-H-by-hash set is a seeded uniform sample WITHOUT replacement
+    * of the term's full posting set — still bounded map-side by the
+    * same aggregator (≤H rows per (partition, term) shuffle, any df).
+    * Soundness is free (any real witnesses certify a θ0 lower bound);
+    * selectivity is whatever the sample gives — the reference's own
+    * baseline arm, kept as the control in `tools.HintsAB strategies`.
+    * The remaining reference callbacks don't transfer: Disjoint/
+    * KDisjoint (hints.jl:100-175) select by graph-adjacency
+    * disjointness, a resource an inverted index doesn't have, and
+    * KCenters diversity (hints.jl:221-264) is subsumed by the ε-net
+    * over the 1-D tfn space (fft centers on a line ARE an ε-net).
+    */
+  final case class RandomWitnessHints(seed: Long = 0x9E3779B97F4A7C15L)
+      extends HintStrategy
+
   final case class HintRow(doc_id: Long, tf: Long, dl: Long)
 
   /** Greedy ε-net over candidates already sorted (tfn DESC, doc_id ASC)
     * — keep a candidate iff its tfn is ≥ eps from every kept tfn; stop
-    * at `h` kept. The strongest witness is always kept (first in
-    * order), so a single-term θ0 never regresses below the top-1 bound.
+    * at `h` kept — then PAD back to `h` with the strongest unkept
+    * candidates in order. The pad is a deliberate divergence from the
+    * reference's pure net (hints.jl:181-220): graph entry points WANT
+    * duplicates collapsed, but our hints feed `Wand.hintThetas`, which
+    * needs ≥ k witnesses before it can emit a θ0 at all — on a corpus
+    * with uniform witness profiles (every (tf, dl) shape identical, the
+    * selective needle workload) an unpadded net collapses each term to
+    * ONE witness and the warm-start silently turns off (measured: the
+    * selective query scored 34,068 docs unpadded vs 100 with top-H).
+    * The strongest witness is always kept (first in order), so a
+    * single-term θ0 never regresses below the top-1 bound.
     */
-  private[index] def epsilonNet(hs: Seq[HintRow], avgdl: Double, eps: Double,
+  private[graft] def epsilonNet(hs: Seq[HintRow], avgdl: Double, eps: Double,
       h: Int): Seq[HintRow] = {
     val kept = scala.collection.mutable.ArrayBuffer.empty[(HintRow, Double)]
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[HintRow]
     val it = hs.iterator
     while (it.hasNext && kept.size < h) {
       val r = it.next()
       val tfn = graft.functions.BM25.tfNorm(r.tf, r.dl, avgdl)
       if (kept.forall { case (_, t) => math.abs(t - tfn) >= eps })
         kept += ((r, tfn))
+      else skipped += r
     }
-    kept.map(_._1).toSeq
+    (kept.map(_._1) ++ skipped.take(h - kept.size)).toSeq
   }
 
   /** Bounded aggregation state for [[HintsTopH]]: the ≤H best
@@ -183,10 +224,18 @@ object IndexBuilder {
     val poolSize = strategy match {
       case TopHHints => HintsPerTerm
       case EpsilonNetHints(_, pool) => pool
+      case RandomWitnessHints(_) => HintsPerTerm
+    }
+    // the aggregator's rank column: tfn ("strongest first") except for
+    // the random strategy, where a doc_id hash makes top-H ≡ a seeded
+    // uniform sample of the term's posting set
+    val rankCol = strategy match {
+      case RandomWitnessHints(seed) =>
+        xxhash64(col("doc_id"), lit(seed)).cast("double")
+      case _ => graft.functions.BM25.tfNormCol(col("tf"), col("dl"), lit(avgdl))
     }
     df.select(col("term"), col("doc_id").cast("long"), col("tf").cast("long"),
-        col("dl").cast("long"),
-        graft.functions.BM25.tfNormCol(col("tf"), col("dl"), lit(avgdl)).as("tfn"))
+        col("dl").cast("long"), rankCol.as("tfn"))
       .as[(String, Long, Long, Long, Double)]
       .groupByKey(_._1)
       .agg(new HintsTopH(poolSize).toColumn.name("hs"))
@@ -194,6 +243,7 @@ object IndexBuilder {
         val kept = strategy match {
           case TopHHints => hs
           case EpsilonNetHints(eps, _) => epsilonNet(hs, avgdl, eps, HintsPerTerm)
+          case RandomWitnessHints(_) => hs
         }
         kept.map(r => (term, r.doc_id, r.tf, r.dl))
       }
@@ -263,8 +313,8 @@ object IndexBuilder {
     val dl = docs.select(col("doc_id"),
       size(Tokenizer.tokensCol(col("text"))).as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val statsRow = dl.agg(
-      count(lit(1)).as("n"), sum("dl").as("sum_dl"), max("doc_id").as("maxd")).head()
+    val statsRow = phase("stats_action") { dl.agg(
+      count(lit(1)).as("n"), sum("dl").as("sum_dl"), max("doc_id").as("maxd")).head() }
     val nDocs = statsRow.getLong(0)
     val sumDl = statsRow.getLong(1)
     val maxDoc = statsRow.getLong(2)
@@ -299,9 +349,20 @@ object IndexBuilder {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions("shard", "term", "doc_id")
       .mapPartitions(it => sealRuns(it, avgdl))
-    sealedPostings.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", overwriteMode)
-      .partitionBy("shard").parquet(paths.postings(snapshotId))
+    // postings ∥ norms: independent artifacts (postings reads tfScoped,
+    // norms reads the dl cache the stats action already materialized),
+    // so the small norms job rides in the wide postings shuffle's slot
+    // slack — on a cluster this keeps executor slots full while the
+    // shuffle tail drains; at small corpora it removes one serialized
+    // job round-trip of pure fixed cost.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val postingsF = Future(phase("postings_seal_write") {
+      sealedPostings.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", overwriteMode)
+        .partitionBy("shard").parquet(paths.postings(snapshotId))
+    })
 
     // ---- seal norms sidecar
     val dlShard = dl.select(shardCol.as("shard"), col("doc_id"), col("dl").cast("long"))
@@ -314,9 +375,14 @@ object IndexBuilder {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions("shard", "doc_id")
       .mapPartitions(sealNormRuns)
-    sealedNorms.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", overwriteMode)
-      .partitionBy("shard").parquet(paths.norms(snapshotId))
+    val normsF = Future(phase("norms_seal_write") {
+      sealedNorms.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", overwriteMode)
+        .partitionBy("shard").parquet(paths.norms(snapshotId))
+    })
+    // termstats + hints read artifacts the postings job produces (the
+    // sealed segments / the tfScoped cache it fills) — wait for it
+    Await.result(postingsF, Duration.Inf)
 
     if (writeGlobals.getOrElse(onlyShards.isEmpty)) {
       // ---- global term stats from the SEALED postings (df_local/cf_local
@@ -328,10 +394,12 @@ object IndexBuilder {
         .select(col("term"), col("df"), col("cf"),
           graft.functions.BM25.idfCol(lit(nDocs), col("df")).as("idf"))
         .as[TermStats]
-      termstats.write.mode(SaveMode.Overwrite).parquet(paths.termstats(snapshotId))
+      val termstatsF = Future(phase("termstats_write") {
+        termstats.write.mode(SaveMode.Overwrite).parquet(paths.termstats(snapshotId)) })
 
-      Seq(SnapStats(snapshotId, nDocs, sumDl, avgdl, numShards, maxDoc)).toDS()
-        .write.mode(SaveMode.Overwrite).parquet(paths.stats(snapshotId))
+      val statsF = Future(phase("stats_write") {
+        Seq(SnapStats(snapshotId, nDocs, sumDl, avgdl, numShards, maxDoc)).toDS()
+          .write.mode(SaveMode.Overwrite).parquet(paths.stats(snapshotId)) })
 
       // ---- per-term hints sidecar: the reference's search-start hints
       // (/root/reference/src/searchgraph/hints.jl:42-264) transferred to
@@ -346,15 +414,22 @@ object IndexBuilder {
       // corpus; on a resume (onlyShards) fall back to the unscoped plan
       // so the overwritten sidecar still covers every term
       val hintSrc = if (onlyShards.isEmpty) tfScoped.toDF() else tf.toDF()
-      topHintsPerTerm(hintSrc, avgdl, hintStrategy)
-        .write.mode(SaveMode.Overwrite).parquet(paths.hints(snapshotId))
+      // hints reads the tfScoped cache (filled by the postings job) —
+      // independent of termstats/stats, so all three run concurrently
+      phase("hints_write") {
+        topHintsPerTerm(hintSrc, avgdl, hintStrategy)
+          .write.mode(SaveMode.Overwrite).parquet(paths.hints(snapshotId)) }
+      Await.result(termstatsF, Duration.Inf)
+      Await.result(statsF, Duration.Inf)
     }
+    Await.result(normsF, Duration.Inf)
 
     tfScoped.unpersist(blocking = false)
     dl.unpersist(blocking = false)
 
     // ---- lineage + metrics from the WRITTEN artifacts, then commit
-    commitManifest(spark, paths, snapshotId, parentSnapshot, onlyShards)
+    phase("commit_manifest") {
+      commitManifest(spark, paths, snapshotId, parentSnapshot, onlyShards) }
     // a rebuild at the same path invalidates Wand's driver memos
     Wand.invalidate(indexDir)
   }
@@ -398,7 +473,11 @@ object IndexBuilder {
     // already undefined at the segment layer (both Overwrite the same
     // parquet partitions).
     val seq = 1L + rawManifest(spark, paths).map(_.commit_seq).foldLeft(0L)(math.max)
-    val manifest = docRange.join(postAgg, "shard")
+    // one job computes the (numShards-row) lineage: collect it, then
+    // write manifest AND metrics from the driver-local rows — deriving
+    // metrics from the manifest DATASET re-ran its whole plan (a second
+    // scan of the sealed postings + norms per commit, pure fixed cost)
+    val manifestRows = docRange.join(postAgg, "shard")
       .select(lit(snapshotId).as("snapshot_id"),
         concat(lit(s"snap-$snapshotId-shard-"), col("shard")).as("segment_id"),
         col("shard").cast("int"), col("min_doc"), col("max_doc"),
@@ -407,12 +486,20 @@ object IndexBuilder {
         lit(seq).as("commit_seq"),
         lit(onlyShards.isEmpty).as("full_commit"))
       .as[ManifestRow]
-    manifest.coalesce(1).write.mode(SaveMode.Append).parquet(paths.manifest)
-
-    val metrics = manifest.flatMap(m => Seq(
-      StageMetric(m.snapshot_id, "seal_postings", m.shard, m.doc_count, m.term_count, m.postings_bytes),
-      StageMetric(m.snapshot_id, "seal_norms", m.shard, m.doc_count, m.doc_count, 0L)))
-    metrics.write.mode(SaveMode.Append).parquet(paths.metrics)
+      .collect().toSeq
+    // metrics are observability, not commit markers — their Append can
+    // ride alongside the manifest's (different paths, no ordering need)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val metricsF = Future {
+      manifestRows.flatMap(m => Seq(
+          StageMetric(m.snapshot_id, "seal_postings", m.shard, m.doc_count, m.term_count, m.postings_bytes),
+          StageMetric(m.snapshot_id, "seal_norms", m.shard, m.doc_count, m.doc_count, 0L)))
+        .toDS().coalesce(1).write.mode(SaveMode.Append).parquet(paths.metrics)
+    }
+    manifestRows.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(paths.manifest)
+    Await.result(metricsF, Duration.Inf)
   }
 
   /** Every manifest row as appended, duplicates included. Existence is

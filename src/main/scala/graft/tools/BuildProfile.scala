@@ -13,6 +13,7 @@ object BuildProfile {
   def main(args: Array[String]): Unit = {
     val corpusDir = args(0)
     val cores = args(1).toInt
+    sys.props("graft.profile.build") = "1" // per-phase [build-phase] lines
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -38,7 +39,13 @@ object BuildProfile {
       Tokenizer.termFrequencies(docs).groupBy().count().collect()
     }
     val ix = java.nio.file.Files.createTempDirectory(s"graft-prof-$cores-").toString
-    t("C_full_build") {
+    t("C_full_build_cold") {
+      IndexBuilder.build(spark, corpusDir, ix, numShards = 32)
+    }
+    // warm rep separates per-build fixed cost from one-time session
+    // cost (codegen, committer init) — this is what Bench's min-of-reps
+    // measures
+    t("C_full_build_warm") {
       IndexBuilder.build(spark, corpusDir, ix, numShards = 32)
     }
     spark.stop()

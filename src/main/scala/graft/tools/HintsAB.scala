@@ -46,7 +46,8 @@ object HintsAB {
     try {
       Seq[(String, graft.index.IndexBuilder.HintStrategy)](
         "topH" -> IndexBuilder.TopHHints,
-        "epsNet" -> IndexBuilder.EpsilonNetHints()).foreach { case (nm, strat) =>
+        "epsNet" -> IndexBuilder.EpsilonNetHints(),
+        "random" -> IndexBuilder.RandomWitnessHints()).foreach { case (nm, strat) =>
         val fixedIx = java.nio.file.Files.createTempDirectory(s"graft-hab-$nm-").toString
         val selIx = java.nio.file.Files.createTempDirectory(s"graft-hab-sel-$nm-").toString
         dirs += fixedIx; dirs += selIx

@@ -140,24 +140,38 @@ class WandSpec extends AnyFunSuite {
     assert(on._1 < off._1, "warm-start must strictly reduce scored docs on a selective query")
   }
 
-  test("EpsilonNetHints: sidecar is an ε-net, warm-start stays sound, pruning parity with top-H") {
+  test("EpsilonNetHints: net+pad golden model, warm-start stays sound, pruning parity with top-H") {
     val spark = TestSpark.spark
     import spark.implicits._
+    import IndexBuilder.HintRow
+    // golden model of the kernel: greedy ε-net in (tfn DESC, id ASC)
+    // order, then pad to H with the strongest unkept — duplicates of a
+    // kept profile collapse into the net but survive via the pad (the
+    // θ0 k-witness floor; see epsilonNet's doc)
+    val avg = 10.0
+    def row(id: Long, tf: Long, dl: Long) = HintRow(id, tf, dl)
+    // tfns at dl=avgdl=10: tf=3 → 1.571 twice, tf=2 → 1.375 twice, tf=1 → 1.0
+    val cands = Seq(row(1, 3, 10), row(2, 3, 10), row(3, 2, 10), row(4, 2, 10), row(5, 1, 10))
+    val net4 = IndexBuilder.epsilonNet(cands, avg, eps = 0.1, h = 4)
+    // net keeps ids 1 (1.571), 3 (1.375), 5 (1.0); pad adds the
+    // strongest skipped, id 2
+    assert(net4.map(_.doc_id) == Seq(1L, 3L, 5L, 2L), s"got ${net4.map(_.doc_id)}")
+    // uniform profiles: the net collapses to ONE, the pad restores H
+    val uni = (1L to 6L).map(i => row(i, 2, 10))
+    assert(IndexBuilder.epsilonNet(uni, avg, eps = 0.1, h = 4).map(_.doc_id) ==
+      Seq(1L, 2L, 3L, 4L), "pad must refill uniform-profile terms to H")
+
     val strat = IndexBuilder.EpsilonNetHints()
     val d = Files.createTempDirectory("graft-hints-eps-").toString
     IndexBuilder.build(spark, TestSpark.Sf0001, d, numShards = 4,
       hintStrategy = strat)
-    // sidecar shape: ≤H rows/term, pairwise tfn gaps ≥ eps within a term
-    val avgdl = IndexBuilder.loadStats(spark, d, Seq(1L)).head.avgdl
+    // sidecar shape: ≤H distinct witnesses per term
     val byTerm = spark.read.parquet(s"$d/hints/snap=1")
-      .select("term", "tf", "dl").as[(String, Long, Long)].collect()
+      .select("term", "doc_id").as[(String, Long)].collect()
       .groupBy(_._1)
     byTerm.foreach { case (t, rows) =>
       assert(rows.length <= IndexBuilder.HintsPerTerm, s"term $t: ${rows.length} hints")
-      val tfns = rows.map(r => graft.functions.BM25.tfNorm(r._2, r._3, avgdl))
-      for (i <- tfns.indices; j <- 0 until i)
-        assert(math.abs(tfns(i) - tfns(j)) >= strat.eps,
-          f"term $t: tfn gap ${math.abs(tfns(i) - tfns(j))}%.4f < eps ${strat.eps}")
+      assert(rows.map(_._2).distinct.length == rows.length, s"term $t: duplicate witnesses")
     }
     // soundness: ε-net warm-start cannot change results (any real
     // witnesses give a valid θ0 lower bound), and never scores MORE
@@ -172,6 +186,43 @@ class WandSpec extends AnyFunSuite {
     val topH = scored(Wand.topKWithMetrics(spark, indexDir, Seq(1L), useHints = true)._2)
     info(s"docs scored: epsNet=$eps topH=$topH none=$none")
     assert(eps <= none, "ε-net hints may never cost more than no hints")
+  }
+
+  test("RandomWitnessHints: seeded uniform witness sample, deterministic, warm-start sound") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val strat = IndexBuilder.RandomWitnessHints()
+    val d1 = Files.createTempDirectory("graft-hints-rnd1-").toString
+    val d2 = Files.createTempDirectory("graft-hints-rnd2-").toString
+    IndexBuilder.build(spark, TestSpark.Sf0001, d1, numShards = 4, hintStrategy = strat)
+    IndexBuilder.build(spark, TestSpark.Sf0001, d2, numShards = 2, hintStrategy = strat)
+    def sidecar(d: String): Map[(String, Long), (Long, Long)] =
+      spark.read.parquet(s"$d/hints/snap=1")
+        .select("term", "doc_id", "tf", "dl").as[(String, Long, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val s1 = sidecar(d1)
+    // deterministic sample: identical witnesses regardless of shard
+    // count / partitioning (top-H-by-hash is order-free)
+    assert(s1 == sidecar(d2), "random witness sample must be seed-deterministic")
+    assert(s1.nonEmpty)
+    // a different seed picks a different sample (the hash actually ranks)
+    val d3 = Files.createTempDirectory("graft-hints-rnd3-").toString
+    IndexBuilder.build(spark, TestSpark.Sf0001, d3, numShards = 4,
+      hintStrategy = IndexBuilder.RandomWitnessHints(seed = 7L))
+    assert(sidecar(d3) != s1, "different seed must sample differently")
+    // ≤H witnesses per term
+    val byTerm = s1.keys.groupBy(_._1)
+    byTerm.foreach { case (t, ks) =>
+      assert(ks.size <= IndexBuilder.HintsPerTerm, s"term $t: ${ks.size} hints")
+    }
+    // soundness: results identical, work never grows
+    val (hitsOn, mOn) = Wand.topKWithMetrics(spark, d1, Seq(1L), useHints = true)
+    val (hitsOff, mOff) = Wand.topKWithMetrics(spark, d1, Seq(1L), useHints = false)
+    assert(rows(hitsOn) == rows(hitsOff), "random warm-start changed results")
+    def scored(mdf: org.apache.spark.sql.DataFrame): Long =
+      mdf.collect().map(_.getLong(1)).sum
+    info(s"docs scored: random=${scored(mOn)} none=${scored(mOff)}")
+    assert(scored(mOn) <= scored(mOff))
   }
 
   test("static index pruning: tfn-floor build trades size for recall ≥ 0.9") {
