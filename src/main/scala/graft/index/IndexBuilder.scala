@@ -358,11 +358,19 @@ object IndexBuilder {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val postingsF = Future(phase("postings_seal_write") {
+    // every overlapped write is TRACKED: if any step throws, the catch
+    // below drains the outstanding futures before rethrowing — a build
+    // must never return (or fail out to a caller's retry) while a
+    // zombie writer job still holds one of this snapshot's directories,
+    // or the retry's Overwrite races it on the same path
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Future[Unit]]
+    def track(f: Future[Unit]): Future[Unit] = { pending += f; f }
+    try {
+    val postingsF = track(Future(phase("postings_seal_write") {
       sealedPostings.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", overwriteMode)
         .partitionBy("shard").parquet(paths.postings(snapshotId))
-    })
+    }))
 
     // ---- seal norms sidecar
     val dlShard = dl.select(shardCol.as("shard"), col("doc_id"), col("dl").cast("long"))
@@ -375,11 +383,11 @@ object IndexBuilder {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions("shard", "doc_id")
       .mapPartitions(sealNormRuns)
-    val normsF = Future(phase("norms_seal_write") {
+    val normsF = track(Future(phase("norms_seal_write") {
       sealedNorms.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", overwriteMode)
         .partitionBy("shard").parquet(paths.norms(snapshotId))
-    })
+    }))
     // termstats + hints read artifacts the postings job produces (the
     // sealed segments / the tfScoped cache it fills) — wait for it
     Await.result(postingsF, Duration.Inf)
@@ -394,12 +402,12 @@ object IndexBuilder {
         .select(col("term"), col("df"), col("cf"),
           graft.functions.BM25.idfCol(lit(nDocs), col("df")).as("idf"))
         .as[TermStats]
-      val termstatsF = Future(phase("termstats_write") {
-        termstats.write.mode(SaveMode.Overwrite).parquet(paths.termstats(snapshotId)) })
+      val termstatsF = track(Future(phase("termstats_write") {
+        termstats.write.mode(SaveMode.Overwrite).parquet(paths.termstats(snapshotId)) }))
 
-      val statsF = Future(phase("stats_write") {
+      val statsF = track(Future(phase("stats_write") {
         Seq(SnapStats(snapshotId, nDocs, sumDl, avgdl, numShards, maxDoc)).toDS()
-          .write.mode(SaveMode.Overwrite).parquet(paths.stats(snapshotId)) })
+          .write.mode(SaveMode.Overwrite).parquet(paths.stats(snapshotId)) }))
 
       // ---- per-term hints sidecar: the reference's search-start hints
       // (/root/reference/src/searchgraph/hints.jl:42-264) transferred to
@@ -423,9 +431,18 @@ object IndexBuilder {
       Await.result(statsF, Duration.Inf)
     }
     Await.result(normsF, Duration.Inf)
-
-    tfScoped.unpersist(blocking = false)
-    dl.unpersist(blocking = false)
+    } catch {
+      case e: Throwable =>
+        // drain, don't cancel: Spark jobs aren't interruptible mid-write;
+        // waiting out the survivors (their own errors are secondary to
+        // the one in flight) guarantees no writer outlives this call
+        pending.foreach(f =>
+          try Await.result(f, Duration.Inf) catch { case _: Throwable => () })
+        throw e
+    } finally {
+      tfScoped.unpersist(blocking = false)
+      dl.unpersist(blocking = false)
+    }
 
     // ---- lineage + metrics from the WRITTEN artifacts, then commit
     phase("commit_manifest") {
@@ -498,15 +515,28 @@ object IndexBuilder {
           StageMetric(m.snapshot_id, "seal_norms", m.shard, m.doc_count, m.doc_count, 0L)))
         .toDS().coalesce(1).write.mode(SaveMode.Append).parquet(paths.metrics)
     }
-    manifestRows.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(paths.manifest)
+    try manifestRows.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(paths.manifest)
+    catch {
+      // drain the metrics append before failing out — a caller's retry
+      // must never race a zombie writer on the shared metrics path
+      case e: Throwable =>
+        try Await.result(metricsF, Duration.Inf) catch { case _: Throwable => () }
+        throw e
+    }
     Await.result(metricsF, Duration.Inf)
   }
 
   /** Every manifest row as appended, duplicates included. Existence is
     * probed through the Hadoop FileSystem of the path itself (NOT
     * java.nio — on hdfs:// or s3a:// a local-FS check is always false),
-    * with the AnalysisException/FileNotFoundException catch as the
-    * "no manifest yet" fallback where the probe can race a writer.
+    * with a NARROW catch as the "no manifest yet" fallback where the
+    * probe can race a writer: only path-missing / empty-dir analysis
+    * errors mean "nothing committed". Any OTHER AnalysisException — a
+    * manifest whose schema doesn't decode to [[ManifestRow]], a
+    * corrupted footer — must PROPAGATE: mapping it to "no manifest"
+    * would make resume() silently full-rebuild a committed index and
+    * let the next commit append mixed-schema rows beside the
+    * undecodable ones.
     */
   private def rawManifest(spark: SparkSession, paths: IndexPaths): Seq[ManifestRow] = {
     import spark.implicits._
@@ -515,7 +545,10 @@ object IndexBuilder {
     if (!fs.exists(p)) Seq.empty
     else try spark.read.parquet(paths.manifest).as[ManifestRow].collect().toSeq
     catch {
-      case _: org.apache.spark.sql.AnalysisException => Seq.empty
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(c =>
+            c.startsWith("PATH_NOT_FOUND") || c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+        Seq.empty
       case _: java.io.FileNotFoundException => Seq.empty
     }
   }

@@ -283,10 +283,21 @@ object AnnOps {
   /** Pure selection half (separable so one measured ladder can answer
     * several goals without re-running the queries).
     */
-  def chooseConfig(configs: Seq[IvfConfig], goal: OptGoal): IvfConfig = {
-    val maxRadius = configs.map(_.radiusMean).max
-    configs.minBy(c =>
-      (goalLoss(goal, c.recall, c.cost, c.radiusMean, maxRadius), c.cost))
+  def chooseConfig(configs: Seq[IvfConfig], goal: OptGoal): IvfConfig =
+    chooseBy(configs, goal)(c => (c.recall, c.cost, c.radiusMean))
+
+  /** The selection rule ONCE, for every tuner's config type: minimize
+    * (goal loss, cost) over the measured (recall, cost, radiusMean)
+    * ladder — the IVF and pruning-floor tuners must never drift apart
+    * on tie-breaks.
+    */
+  private def chooseBy[C](configs: Seq[C], goal: OptGoal)(
+      m: C => (Double, Double, Double)): C = {
+    val maxRadius = configs.map(m(_)._3).max
+    configs.minBy { c =>
+      val (recall, cost, radius) = m(c)
+      (goalLoss(goal, recall, cost, radius, maxRadius), cost)
+    }
   }
 
   // -------------------------------------- optimize_index! on the PRIMARY index
@@ -302,11 +313,8 @@ object AnnOps {
   final case class FloorConfig(floor: Double, recall: Double, cost: Double,
       radiusMean: Double)
 
-  def chooseFloor(configs: Seq[FloorConfig], goal: OptGoal): FloorConfig = {
-    val maxRadius = configs.map(_.radiusMean).max
-    configs.minBy(c =>
-      (goalLoss(goal, c.recall, c.cost, c.radiusMean, maxRadius), c.cost))
-  }
+  def chooseFloor(configs: Seq[FloorConfig], goal: OptGoal): FloorConfig =
+    chooseBy(configs, goal)(c => (c.recall, c.cost, c.radiusMean))
 
   /** Measure the [[FloorConfig]] ladder: build a pruned index per floor
     * (floor ≤ 0 = the exact index), run the fixed query set through

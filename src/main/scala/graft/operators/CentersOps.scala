@@ -81,11 +81,21 @@ object CentersOps {
     val n = VectorOps.embCount(spark, sfDir)
     val target = math.max(64L, sampleFactor.toLong * k)
     val stride = math.max(1L, n / target)
-    val sample = emb.filter(col("vec_id") % stride === 0)
+    // hash-stride, not id-stride: `vec_id % stride` assumes dense
+    // contiguous ids — an all-odd or range-offset id space would yield
+    // a skewed (or EMPTY) sample. Hashing first makes the ~n/stride
+    // pick deterministic and id-layout-blind.
+    val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
       .as[(Long, Seq[Double])].collect()
       .map { case (id, e) => (id, e.toArray) }
       .sortBy(_._1)
-    fftLocal(sample, k)
+    // tiny-n edge (an unlucky hash draw on a corpus barely above
+    // target): fall back to the deterministic id-ordered prefix
+    val pts = if (sample.nonEmpty) sample
+      else emb.orderBy("vec_id").limit(target.toInt)
+        .as[(Long, Seq[Double])].collect()
+        .map { case (id, e) => (id, e.toArray) }
+    fftLocal(pts, k)
   }
 
   /** Driver-local farthest-first over a materialized sample — the exact

@@ -51,6 +51,30 @@ class AnnSpec extends AnyFunSuite {
     assert(r >= 0.8, f"sampled-training IVF recall $r%.4f below the reference gate")
   }
 
+  test("fftSampled: sparse/offset vec_id space still yields a real training sample") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.CentersOps
+    // all-odd ids offset by 10^9: an id-stride filter (vec_id % stride)
+    // matches ZERO rows here for any even stride — the hash-stride
+    // sample must keep training id-layout-blind
+    val sparse = java.nio.file.Files.createTempDirectory("graft-ann-sparse-").toString
+    try {
+      val ids = (0 until 600).map(i => 1000000000L + 2L * i + 1L)
+      // UNIT vectors (the corpus invariant jvmDist's 1−dot relies on),
+      // directions spread by id so farthest-first has real geometry
+      ids.map { id =>
+        val a = (id % 97).toDouble / 97.0 * math.Pi
+        (id, Array(math.cos(a).toFloat, math.sin(a).toFloat, 0f, 0f))
+      }.toDF("vec_id", "embedding")
+        .write.parquet(s"$sparse/embeddings.parquet")
+      val centers = CentersOps.fftSampled(spark, sparse, 8, sampleFactor = 2)
+      assert(centers.length == 8, s"expected 8 centers, got ${centers.length}")
+      assert(centers.forall(ids.contains), "centers must come from the corpus ids")
+      assert(centers.distinct.length == 8, "centers must be distinct")
+    } finally graft.operators.StreamingOps.deleteRec(sparse)
+  }
+
   test("LSH ANN: empty embeddings table → empty result, not an exception") {
     val spark = TestSpark.spark
     import spark.implicits._

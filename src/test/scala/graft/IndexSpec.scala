@@ -165,6 +165,23 @@ class IndexSpec extends AnyFunSuite {
     assert(IndexBuilder.resume(spark, TestSpark.Sf0001, dir, 2, 1L).isEmpty)
   }
 
+  test("undecodable manifest PROPAGATES; missing manifest reads empty") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a manifest dir that EXISTS but doesn't decode to ManifestRow
+    // (e.g. a pre-commit_seq format) must throw, not read as "nothing
+    // committed" — the silent-empty reading made resume() full-rebuild
+    // a committed index and appended mixed-schema rows beside the old
+    val dir = tmp()
+    Seq((1L, "snap-1-shard-0", 0)).toDF("snapshot_id", "segment_id", "shard")
+      .write.parquet(s"$dir/manifest")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      IndexBuilder.readManifest(spark, dir)
+    }
+    // a MISSING manifest is still the clean "nothing committed" state
+    assert(IndexBuilder.readManifest(spark, tmp()).isEmpty)
+  }
+
   test("log-growth callbacks scheduler: fires exactly at ceil-log boundaries; compaction ≡ full build") {
     val spark = TestSpark.spark
     // the boundary predicate IS the reference formula
