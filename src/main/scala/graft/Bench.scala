@@ -185,7 +185,8 @@ object Bench {
       "q04_allknn", "q12_dedup_exact", "q13_jaccard_pairs", "q14_minhash_lsh",
       "q15_simhash", "q16_langid", "q17_quality", "q18_token_count",
       "q19_fingerprint", "q21_ann_lsh", "q23_multimodal_meta", "q24_events_window",
-      "q32_sq_u4_knn", "q34_random_proj", "q35_cloud_distances", "q36_events_filesink")
+      "q32_sq_u4_knn", "q34_random_proj", "q35_cloud_distances", "q36_events_filesink",
+      "q44_ann_persisted")
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     def opOnce(name: String): Unit =
       SparkEntry.queries.get(name).foreach { fn =>

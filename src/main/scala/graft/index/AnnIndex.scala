@@ -1,0 +1,356 @@
+package graft.index
+
+import graft.corpus.Corpus
+import graft.operators.{AnnOps, CentersOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index — the vector twin of the fulltext index's
+  * build-once/query-many contract (the reference's `index!` →
+  * `search` split, /root/reference/src/SimilaritySearch.jl:236-279).
+  *
+  * [[graft.operators.AnnOps.annLsh]]/[[graft.operators.AnnOps.annIvf]]
+  * are single-plan operators: every call re-codes the WHOLE corpus
+  * (hash every vector into its buckets / re-rank every vector against
+  * the centers) before any candidate join. That is the right shape for
+  * one bulk self-join, but at 10^9+ vectors the coding pass dominates
+  * every query batch — the analog of re-tokenizing the corpus per
+  * WAND query. Here the coding pass runs ONCE:
+  *
+  *  - `build*` writes the bucket table `(shard, bucket, vec_id)` —
+  *    already capped ([[graft.operators.AnnOps.BucketCap]], same
+  *    bounded-heap rule) — partitioned by `shard = bucket mod
+  *    numShards` and SORTED by bucket within each file, plus a 1-row
+  *    `meta` (and for IVF the trained `centers`). Hyperplanes are NOT
+  *    stored: they are a pure function of (table, bit, dim) via
+  *    splitmix64 ([[graft.operators.AnnOps.planeMatrix]]), so `meta`
+  *    fully reconstructs the coder, bit-identical.
+  *  - `search*All` re-codes only the QUERY side and joins the stored
+  *    bucket table — results are row-identical to the one-plan
+  *    operators by construction (same planes/centers, same cap rule,
+  *    same rescoring) — the parity gate AnnIndexSpec pins.
+  *  - [[searchLshBatch]] is the bounded-batch path: probe buckets are
+  *    derived driver-side from the batch's vectors, so the scan reads
+  *    ONLY the matching shard partitions (partition pruning) and,
+  *    inside them, skips row groups via the bucket min/max the
+  *    build-side sort created — the vector analog of WAND's
+  *    `term isin` pushdown. Candidate work per query is unchanged;
+  *    corpus-size work drops to zero.
+  */
+object AnnIndex {
+
+  final case class AnnPaths(root: String) {
+    def codes = s"$root/codes"
+    def meta = s"$root/meta"
+    def centers = s"$root/centers"
+  }
+
+  /** kind = "lsh" | "ivf". For lsh: tables×nbits hyperplane coder over
+    * dim components. For ivf: nlist trained centers (stored), nprobe0
+    * the build-time default probe width. dim = 0 marks an index built
+    * over an EMPTY corpus (searches return empty, not an error).
+    * vecs = the codes rows CARRY the vector (the FAISS-IVF-flat
+    * layout): a batch query rescoring candidates reads them straight
+    * off the pruned codes scan and touches the corpus ZERO times —
+    * where payload-free codes must gather candidate vectors by id,
+    * which at 10^9 scattered ids is a full corpus-scan probe join per
+    * batch. Columnar pruning keeps the stored vectors FREE for every
+    * query that doesn't read them. Cost: ×1 vector duplication for IVF
+    * (each vector lives in exactly one cell — always on), ×tables for
+    * LSH (opt-in `storeVecs`).
+    */
+  final case class AnnMeta(kind: String, tables: Int, nbits: Int, dim: Int,
+      n: Long, numShards: Int, bucketCap: Int, nlist: Int, nprobe0: Int,
+      vecs: Boolean)
+
+  private def readMeta(spark: SparkSession, indexDir: String): AnnMeta = {
+    import spark.implicits._
+    spark.read.parquet(AnnPaths(indexDir).meta).as[AnnMeta].head()
+  }
+
+  private def emptyResult(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rnk", "nbr_id", "dist")
+  }
+
+  /** The corpus coded into (vec_id, bucket) rows — one row per table,
+    * the same flatMap [[graft.operators.AnnOps.annLsh]] runs inline.
+    */
+  private def codedFrame(spark: SparkSession, sfDir: String, m: AnnMeta): DataFrame = {
+    import spark.implicits._
+    val planes = AnnOps.planeMatrix(m.tables, m.nbits, m.dim)
+    AnnOps.embDs(spark, sfDir).as[(Long, Seq[Double])]
+      .flatMap { case (id, e) =>
+        val ea = e.toArray
+        (0 until m.tables).map(t =>
+          (id, if (ea.length == m.dim) AnnOps.lshCodeFast(ea, planes, t)
+               else AnnOps.lshCode(e, t, m.nbits)))
+      }.toDF("vec_id", "bucket")
+  }
+
+  /** Build the sign-LSH index over `sfDir`'s embeddings into `outDir`.
+    * One coding pass + one capped shuffle; codes land partitioned by
+    * `shard` and bucket-sorted within files so a batch query's
+    * `bucket isin` prunes at BOTH the partition and row-group level.
+    */
+  def buildLsh(spark: SparkSession, sfDir: String, outDir: String, nbits: Int = 0,
+      tables: Int = 16, numShards: Int = 8, storeVecs: Boolean = false): AnnMeta = {
+    import spark.implicits._
+    val paths = AnnPaths(outDir)
+    val n = VectorOps.embCount(spark, sfDir)
+    val dimOpt = AnnOps.embDs(spark, sfDir)
+      .select(size(col("emb"))).as[Int].head(1).headOption
+    val bits = if (nbits > 0) nbits else AnnOps.deriveNbits(n)
+    val m = AnnMeta("lsh", tables, bits, dimOpt.getOrElse(0), n, numShards,
+      AnnOps.BucketCap, 0, 0, vecs = storeVecs && dimOpt.isDefined)
+    if (dimOpt.isDefined) {
+      val capped = VectorOps.topKByDist(
+          codedFrame(spark, sfDir, m).select(col("bucket"), col("vec_id"),
+            col("vec_id").cast("double").as("dist")),
+          m.bucketCap, "bucket", "vec_id")
+        .select(pmod(col("bucket"), lit(numShards.toLong)).cast("int").as("shard"),
+          col("bucket"), col("vec_id"))
+      writeCodes(if (m.vecs) capped.join(AnnOps.embDs(spark, sfDir), "vec_id")
+                 else capped, numShards, paths)
+    } else emptyCodes(spark, paths)
+    Seq(m).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(paths.meta)
+    m
+  }
+
+  /** Codes row-group size: the pruning GRANULE. A shard file at default
+    * 128 MB row groups is one group — `bucket isin` then prunes nothing
+    * and a batch probe decodes every stored vector in the shard. 8 MB
+    * groups give a probe of b buckets a ceiling of b groups read, and
+    * the bucket-sort keeps each group's bucket min/max tight.
+    */
+  val CodesRowGroupBytes: Int = 8 * 1024 * 1024
+
+  private def writeCodes(rows: DataFrame, numShards: Int, paths: AnnPaths): Unit =
+    rows.repartition(numShards, col("shard"))
+      .sortWithinPartitions("bucket", "vec_id")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", CodesRowGroupBytes.toLong)
+      .partitionBy("shard").parquet(paths.codes)
+
+  private def emptyCodes(spark: SparkSession, paths: AnnPaths): Unit = {
+    import spark.implicits._
+    Seq.empty[(Int, Long, Long)].toDF("shard", "bucket", "vec_id")
+      .write.mode(SaveMode.Overwrite).parquet(paths.codes)
+  }
+
+  /** Exact-rescore every (q_id, nbr_id) candidate pair and keep top-k —
+    * the shared verify half of every search path here (identical to the
+    * inline operators': two id equi-joins, [[VectorOps.distCol]],
+    * bounded heap).
+    */
+  private def rescoreTopK(spark: SparkSession, sfDir: String,
+      pairIds: DataFrame, k: Int): DataFrame = {
+    val embds = AnnOps.embDs(spark, sfDir)
+    val cands = pairIds
+      .join(embds.select(col("vec_id").as("q_id"), col("emb").as("q_emb")), "q_id")
+      .join(embds.select(col("vec_id").as("nbr_id"), col("emb").as("n_emb")), "nbr_id")
+      .select(col("q_id"), col("nbr_id"),
+        VectorOps.distCol(col("q_emb"), col("n_emb")).as("dist"))
+    VectorOps.topKByDist(cands, k, "q_id", "nbr_id")
+      .select(col("q_id").as("vec_id"), col("rnk"), col("nbr_id"), col("dist"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  /** Bulk self-kNN through the stored index: codes the query side (the
+    * whole corpus here), joins the PERSISTED capped bucket table. Row-
+    * identical to [[graft.operators.AnnOps.annLsh]] at the same
+    * (nbits, tables) by construction.
+    */
+  def searchLshAll(spark: SparkSession, indexDir: String, sfDir: String,
+      k: Int = 5): DataFrame = {
+    val m = readMeta(spark, indexDir)
+    if (m.dim == 0) return emptyResult(spark)
+    val indexed = spark.read.parquet(AnnPaths(indexDir).codes)
+      .select(col("vec_id").as("nbr_id"), col("bucket"))
+    val pairIds = codedFrame(spark, sfDir, m)
+      .select(col("vec_id").as("q_id"), col("bucket"))
+      .join(indexed, "bucket")
+      .select("q_id", "nbr_id")
+      .distinct()
+    rescoreTopK(spark, sfDir, pairIds, k)
+  }
+
+  /** Bounded-batch kNN: code the batch DRIVER-side, derive its probe
+    * bucket set, and push `shard isin` + `bucket isin` into the codes
+    * scan — only the touched partitions are listed and only row groups
+    * whose bucket range intersects the probe set decode. The per-query
+    * result is identical to [[searchLshAll]]'s rows for those ids
+    * (same buckets, same candidates, same rescoring).
+    */
+  def searchLshBatch(spark: SparkSession, indexDir: String, sfDir: String,
+      queryIds: Seq[Long], k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val m = readMeta(spark, indexDir)
+    if (m.dim == 0 || queryIds.isEmpty) return emptyResult(spark)
+    val planes = AnnOps.planeMatrix(m.tables, m.nbits, m.dim)
+    val qvecs = AnnOps.embDs(spark, sfDir)
+      .filter(col("vec_id").isin(queryIds: _*))
+      .as[(Long, Seq[Double])].collect()
+    val qBuckets = qvecs.flatMap { case (id, e) =>
+      val ea = e.toArray
+      (0 until m.tables).map(t =>
+        (id, if (ea.length == m.dim) AnnOps.lshCodeFast(ea, planes, t)
+             else AnnOps.lshCode(e, t, m.nbits)))
+    }
+    val buckets = qBuckets.map(_._2).distinct.sorted
+    batchFromProbe(spark, AnnPaths(indexDir), m, sfDir,
+      qBuckets.toIndexedSeq, qvecs, buckets.toIndexedSeq, k)
+  }
+
+  /** Shared batch tail: pruned codes scan × broadcast probe set. With
+    * stored vectors the candidate rescoring reads them off the SAME
+    * scan — the batch plan touches the corpus table zero times; a
+    * payload-free index gathers candidate vectors by id instead (two
+    * corpus probe joins — fine when batches are large, the whole cost
+    * at 10^9 rows when they're not).
+    */
+  private def batchFromProbe(spark: SparkSession, paths: AnnPaths, m: AnnMeta,
+      sfDir: String, qBuckets: Seq[(Long, Long)], qvecs: Array[(Long, Seq[Double])],
+      buckets: Seq[Long], k: Int): DataFrame = {
+    import spark.implicits._
+    val shards = buckets.map(b => java.lang.Math.floorMod(b, m.numShards.toLong).toInt)
+      .distinct.sorted
+    val scan = spark.read.parquet(paths.codes)
+      .filter(col("shard").isin(shards: _*))
+      .filter(col("bucket").isin(buckets: _*))
+    if (m.vecs) {
+      val qe = qvecs.toMap
+      val probe = qBuckets.map { case (q, b) => (q, b, qe(q)) }
+        .toDF("q_id", "bucket", "q_emb")
+      val cands = scan.select(col("bucket"), col("vec_id").as("nbr_id"), col("emb"))
+        .join(broadcast(probe), "bucket")
+        .select(col("q_id"), col("nbr_id"),
+          VectorOps.distCol(col("q_emb"), col("emb")).as("dist"))
+        .distinct()
+      VectorOps.topKByDist(cands, k, "q_id", "nbr_id")
+        .select(col("q_id").as("vec_id"), col("rnk"), col("nbr_id"), col("dist"))
+        .orderBy("vec_id", "rnk")
+    } else {
+      val probe = qBuckets.toDF("q_id", "bucket")
+      val pairIds = scan.select(col("vec_id").as("nbr_id"), col("bucket"))
+        .join(broadcast(probe), "bucket")
+        .select("q_id", "nbr_id")
+        .distinct()
+      rescoreTopK(spark, sfDir, pairIds, k)
+    }
+  }
+
+  /** Build the IVF index: centers trained on a deterministic bounded
+    * sample ([[graft.operators.CentersOps.fftSampled]] — NOT nlist
+    * sequential full-corpus jobs), every vector assigned to its nearest
+    * center by one broadcast join, assignments stored in the same
+    * (shard, bucket=cell, vec_id) layout as LSH codes.
+    */
+  def buildIvf(spark: SparkSession, sfDir: String, outDir: String, nlist: Int = 0,
+      sampleFactor: Int = 16, numShards: Int = 8): AnnMeta = {
+    import spark.implicits._
+    val paths = AnnPaths(outDir)
+    val n = VectorOps.embCount(spark, sfDir)
+    val dimOpt = AnnOps.embDs(spark, sfDir)
+      .select(size(col("emb"))).as[Int].head(1).headOption
+    val nl = if (nlist > 0) nlist else AnnOps.deriveNlist(n)
+    val m = AnnMeta("ivf", 0, 0, dimOpt.getOrElse(0), n, numShards,
+      0, nl, math.max(1, nl / 2), vecs = dimOpt.isDefined)
+    if (dimOpt.isDefined) {
+      val cents = CentersOps.fftSampled(spark, sfDir, nl, sampleFactor)
+      Corpus.embeddings(spark, sfDir)
+        .filter(col("vec_id").isin(cents.toIndexedSeq: _*))
+        .select(col("vec_id").as("cell"),
+          col("embedding").cast("array<double>").as("cemb"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(paths.centers)
+      val cembs = spark.read.parquet(paths.centers)
+      val cellPairs = AnnOps.embDs(spark, sfDir).crossJoin(broadcast(cembs))
+        .select(col("vec_id"), col("cell"),
+          VectorOps.distCol(col("emb"), col("cemb")).as("dist"))
+      val assigned = VectorOps.topKByDist(cellPairs, 1, "vec_id", "cell")
+        .select(pmod(col("cell"), lit(numShards.toLong)).cast("int").as("shard"),
+          col("cell").as("bucket"), col("vec_id"))
+        .join(AnnOps.embDs(spark, sfDir), "vec_id")
+      writeCodes(assigned, numShards, paths)
+    } else {
+      Seq.empty[(Long, Seq[Double])].toDF("cell", "cemb")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(paths.centers)
+      emptyCodes(spark, paths)
+    }
+    Seq(m).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(paths.meta)
+    m
+  }
+
+  /** Bounded-batch kNN through the stored IVF index: centers and the
+    * batch's vectors are collected driver-side, cells ranked with the
+    * SAME rounded distance and tie rule as the distributed ranking
+    * ([[VectorOps.jvmDist]] ≡ distCol bit-for-bit; ties → smaller cell
+    * id, [[graft.operators.TopK.better]]), and the probed cells become
+    * partition/row-group filters on the codes scan — which carries the
+    * candidate vectors, so the whole batch plan never touches the
+    * corpus table. Row-identical to [[searchIvfAll]] for those ids.
+    */
+  def searchIvfBatch(spark: SparkSession, indexDir: String, sfDir: String,
+      queryIds: Seq[Long], k: Int = 5, nprobe: Int = 0): DataFrame = {
+    import spark.implicits._
+    val m = readMeta(spark, indexDir)
+    if (m.dim == 0 || queryIds.isEmpty) return emptyResult(spark)
+    val np = if (nprobe > 0) nprobe else m.nprobe0
+    val cents = spark.read.parquet(AnnPaths(indexDir).centers)
+      .as[(Long, Seq[Double])].collect()
+      .map { case (c, e) => (c, e.toArray) }
+    val qvecs = AnnOps.embDs(spark, sfDir)
+      .filter(col("vec_id").isin(queryIds: _*))
+      .as[(Long, Seq[Double])].collect()
+    val qCells = qvecs.flatMap { case (q, e) =>
+      val ea = e.toArray
+      cents.map { case (c, ce) => (q, c, VectorOps.jvmDist(ea, ce)) }
+        .sortBy { case (_, c, d) => (d, c) }
+        .take(np)
+        .map { case (q2, c, _) => (q2, c) }
+    }
+    val buckets = qCells.map(_._2).distinct.sorted
+    batchFromProbe(spark, AnnPaths(indexDir), m, sfDir,
+      qCells.toIndexedSeq, qvecs, buckets.toIndexedSeq, k)
+  }
+
+  /** Bulk self-kNN through the stored IVF index: rank the stored
+    * centers per query (broadcast — nlist ≤ 4096 rows), probe the
+    * nprobe nearest cells against the PERSISTED assignment table.
+    * Row-identical to [[graft.operators.AnnOps.annIvf]] at the same
+    * (nlist, nprobe): the stored rnk-1 assignment is the same
+    * data-side rule, and the centers are the same deterministic
+    * sampled-fft selection.
+    */
+  def searchIvfAll(spark: SparkSession, indexDir: String, sfDir: String,
+      k: Int = 5, nprobe: Int = 0): DataFrame = {
+    val m = readMeta(spark, indexDir)
+    if (m.dim == 0) return emptyResult(spark)
+    val np = if (nprobe > 0) nprobe else m.nprobe0
+    val cembs = spark.read.parquet(AnnPaths(indexDir).centers)
+    val emb = AnnOps.embDs(spark, sfDir)
+    val cellPairs = emb.crossJoin(broadcast(cembs))
+      .select(col("vec_id"), col("cell"),
+        VectorOps.distCol(col("emb"), col("cemb")).as("dist"))
+    val probe = VectorOps.topKByDist(cellPairs, np, "vec_id", "cell")
+      .select(col("vec_id").as("q_id"), col("cell").as("bucket"))
+    val indexed = spark.read.parquet(AnnPaths(indexDir).codes)
+      .select(col("vec_id").as("nbr_id"), col("bucket"))
+    val pairIds = probe.join(indexed, "bucket")
+      .select("q_id", "nbr_id")
+      .distinct()
+    rescoreTopK(spark, sfDir, pairIds, k)
+  }
+
+  /** Registry entry (q44): build the LSH index to a throwaway dir, run
+    * the bulk self-kNN through it, clean up — the persisted-index twin
+    * of q21, row-identical to it (AnnIndexSpec pins the parity; recall
+    * vs exact is q21's gate, inherited unchanged).
+    */
+  def annPersistedOnCorpus(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-annidx-").toString
+    buildLsh(spark, sfDir, idx)
+    try graft.operators.StreamingOps.localized(searchLshAll(spark, idx, sfDir, k))
+    finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+}

@@ -29,12 +29,12 @@ object AnnOps {
     (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
-  private def embDs(spark: SparkSession, sfDir: String) =
+  private[graft] def embDs(spark: SparkSession, sfDir: String) =
     Corpus.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
   /** Sign-LSH bucket of a vector in one table (table id folded in). */
-  private[operators] def lshCode(emb: Seq[Double], table: Int, nbits: Int): Long = {
+  private[graft] def lshCode(emb: Seq[Double], table: Int, nbits: Int): Long = {
     var code = 0L
     var j = 0
     while (j < nbits) {
@@ -54,10 +54,10 @@ object AnnOps {
     * shipped. Codes are bit-identical to [[lshCode]] by construction
     * (same `plane` function tabulated).
     */
-  private def planeMatrix(tables: Int, nbits: Int, dim: Int): Array[Array[Array[Double]]] =
+  private[graft] def planeMatrix(tables: Int, nbits: Int, dim: Int): Array[Array[Array[Double]]] =
     Array.tabulate(tables, nbits, dim)(plane)
 
-  private def lshCodeFast(e: Array[Double], planes: Array[Array[Array[Double]]],
+  private[graft] def lshCodeFast(e: Array[Double], planes: Array[Array[Array[Double]]],
       table: Int): Long = {
     val pt = planes(table)
     var code = 0L
@@ -90,7 +90,7 @@ object AnnOps {
     */
   val BucketCap = 4 * TargetBucket
 
-  private[operators] def deriveNbits(n: Long): Int =
+  private[graft] def deriveNbits(n: Long): Int =
     math.min(24, math.max(4,
       math.ceil(math.log(math.max(1L, n).toDouble / TargetBucket) / math.log(2.0)).toInt))
 
@@ -165,7 +165,7 @@ object AnnOps {
     * [[CentersOps.fftSampled]]); cell assignment is a broadcast join at
     * any nlist.
     */
-  private[operators] def deriveNlist(n: Long): Int =
+  private[graft] def deriveNlist(n: Long): Int =
     math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** nlist/nprobe default to corpus-derived values (nprobe = nlist/2,

@@ -71,7 +71,7 @@ object VectorOps {
   private[graft] def invalidateCounts(sfDir: String): Unit =
     countMemo.keys.filter(_._2 == sfDir).foreach(countMemo.remove)
 
-  private[operators] def embCount(spark: SparkSession, sfDir: String): Long =
+  private[graft] def embCount(spark: SparkSession, sfDir: String): Long =
     countMemo.getOrElseUpdate(("embeddings", sfDir), Corpus.embeddings(spark, sfDir).count())
 
   private[operators] def docCount(spark: SparkSession, sfDir: String): Long =
@@ -93,7 +93,7 @@ object VectorOps {
     * final negation restores +0.0, so oracle hash-identity is
     * preserved.
     */
-  private[operators] def topKByDist(pairs: DataFrame, k: Int,
+  private[graft] def topKByDist(pairs: DataFrame, k: Int,
       groupCol: String, idCol: String): DataFrame = {
     import pairs.sparkSession.implicits._
     val typed = pairs

@@ -54,7 +54,11 @@ object Registry {
     "q40_random_proj_qr" -> ((s, dir) => graft.operators.VectorOps.randomProjQR(s, dir)),
     "q41_wand_from_pages" -> ((s, dir) => graft.index.Wand.topKOnPagesCorpus(s, dir)),
     "q42_wand_eps_hints" -> ((s, dir) => graft.index.Wand.topKOnCorpusEpsHints(s, dir)),
-    "q43_wand_scheduled" -> ((s, dir) => graft.index.Wand.topKOnScheduledIngest(s, dir))
+    "q43_wand_scheduled" -> ((s, dir) => graft.index.Wand.topKOnScheduledIngest(s, dir)),
+    // no oracle (approximate, like q21 whose recall gate it inherits);
+    // AnnIndexSpec pins row-identity with q21's operator, so its
+    // correctness evidence IS q21's plus the parity gate
+    "q44_ann_persisted" -> ((s, dir) => graft.index.AnnIndex.annPersistedOnCorpus(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */

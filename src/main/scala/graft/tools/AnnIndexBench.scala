@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measure the persisted-ANN-index bet at a synthetic scale the fixture
+  * can't reach: n deterministic unit vectors, then a bounded query
+  * batch answered three ways —
+  *  1. NO index (what the inline one-plan operator pays per batch):
+  *     code the whole corpus, bucket-join the batch, gather candidate
+  *     vectors by id;
+  *  2. payload-free persisted LSH codes: coding pass gone, candidate
+  *     GATHER (two corpus probe joins) remains;
+  *  3. vector-carrying persisted IVF codes ([[graft.index.AnnIndex]]
+  *     `vecs`): pruned scan carries the vectors — the batch plan never
+  *     touches the corpus table.
+  * `runMain graft.tools.AnnIndexBench [n] [dim] [batch] [cores]`
+  */
+object AnnIndexBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 1000000
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val batch = if (args.length > 2) args(2).toInt else 16
+    val cores = if (args.length > 3) args(3).toInt else 32
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def t[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def minOf2(f: => Long): (Double, Long) = {
+      f // warm
+      val (t1, r) = t(f); val (t2, _) = t(f)
+      (math.min(t1, t2), r)
+    }
+    // deterministic unit vectors: splitmix64 components, normalized —
+    // same recipe family as the fixture generator, no RNG state
+    val corpus = java.nio.file.Files.createTempDirectory("graft-annbench-corpus-").toString
+    val lshIdx = java.nio.file.Files.createTempDirectory("graft-annbench-lsh-").toString
+    val ivfIdx = java.nio.file.Files.createTempDirectory("graft-annbench-ivf-").toString
+    try {
+      val (tGen, _) = t {
+        spark.range(n.toLong).select(col("id").as("vec_id"))
+          .as[Long].map { id =>
+            val e = Array.tabulate(dim) { d =>
+              val h = graft.analysis.TextHash.splitmix64(id * 131L + d)
+              (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+            }
+            val nrm = math.sqrt(e.map(x => x * x).sum)
+            (id, e.map(x => (x / nrm).toFloat))
+          }.toDF("vec_id", "embedding")
+          .write.parquet(s"$corpus/embeddings.parquet")
+      }
+      println(f"[annbench] corpus: $n vectors x $dim dims generated in $tGen%.1f s")
+      val (tLsh, mL) = t(graft.index.AnnIndex.buildLsh(spark, corpus, lshIdx))
+      println(f"[annbench] buildLsh (payload-free): $tLsh%.1f s " +
+        f"(nbits=${mL.nbits}, tables=${mL.tables}, ${n / tLsh}%.0f vec/s)")
+      val (tIvf, mI) = t(graft.index.AnnIndex.buildIvf(spark, corpus, ivfIdx))
+      println(f"[annbench] buildIvf (vector-carrying): $tIvf%.1f s " +
+        f"(nlist=${mI.nlist}, ${n / tIvf}%.0f vec/s)")
+      val ids = (0 until batch).map(i => (i.toLong * 997L) % n)
+
+      // 1. no index: the inline operator's per-batch cost shape
+      val (tNone, rNone) = minOf2 {
+        val planes = graft.operators.AnnOps.planeMatrix(mL.tables, mL.nbits, dim)
+        val qb = graft.operators.AnnOps.embDs(spark, corpus)
+          .filter(col("vec_id").isin(ids: _*)).as[(Long, Seq[Double])].collect()
+          .flatMap { case (q, e) => (0 until mL.tables).map(t =>
+            (q, graft.operators.AnnOps.lshCodeFast(e.toArray, planes, t))) }
+          .toIndexedSeq.toDF("q_id", "bucket")
+        val coded = graft.operators.AnnOps.embDs(spark, corpus)
+          .as[(Long, Seq[Double])]
+          .flatMap { case (id, e) => (0 until mL.tables).map(t =>
+            (id, graft.operators.AnnOps.lshCodeFast(e.toArray, planes, t))) }
+          .toDF("nbr_id", "bucket")
+        val pairs = coded.join(broadcast(qb), "bucket")
+          .select("q_id", "nbr_id").distinct()
+        val embds = graft.operators.AnnOps.embDs(spark, corpus)
+        val cands = pairs
+          .join(embds.select(col("vec_id").as("q_id"), col("emb").as("q_emb")), "q_id")
+          .join(embds.select(col("vec_id").as("nbr_id"), col("emb").as("n_emb")), "nbr_id")
+          .select(col("q_id"), col("nbr_id"),
+            graft.operators.VectorOps.distCol(col("q_emb"), col("n_emb")).as("dist"))
+        graft.operators.VectorOps.topKByDist(cands, 5, "q_id", "nbr_id").count()
+      }
+      println(f"[annbench] batch($batch) NO index (code corpus + gather): " +
+        f"$tNone%.2f s ($rNone rows)")
+
+      // 2. payload-free persisted codes: coding gone, gather remains
+      val (tPlain, rPlain) = minOf2(
+        graft.index.AnnIndex.searchLshBatch(spark, lshIdx, corpus, ids).count())
+      println(f"[annbench] batch($batch) payload-free LSH index: " +
+        f"$tPlain%.2f s ($rPlain rows, ${tNone / tPlain}%.1fx vs no index)")
+
+      // 3. vector-carrying persisted codes: zero corpus reads
+      val (tVecs, rVecs) = minOf2(
+        graft.index.AnnIndex.searchIvfBatch(spark, ivfIdx, corpus, ids, 5, 8).count())
+      println(f"[annbench] batch($batch) vector-carrying IVF index (nprobe=8): " +
+        f"$tVecs%.2f s ($rVecs rows, ${tNone / tVecs}%.1fx vs no index)")
+
+      val allFiles = spark.read.parquet(s"$ivfIdx/codes")
+        .select(input_file_name()).distinct().count()
+      val plan = graft.index.AnnIndex
+        .searchIvfBatch(spark, ivfIdx, corpus, ids, 5, 8)
+        .queryExecution.executedPlan.toString
+      println(s"[annbench] ivf codes files: $allFiles; batch plan corpus-free=" +
+        (!plan.contains("embeddings.parquet")) +
+        " partition-pruned=" + plan.contains("PartitionFilters"))
+    } finally {
+      graft.operators.StreamingOps.deleteRec(corpus, lshIdx, ivfIdx)
+      spark.stop()
+    }
+  }
+}

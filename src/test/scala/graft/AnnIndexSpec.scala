@@ -1,0 +1,128 @@
+package graft
+
+import graft.index.AnnIndex
+import graft.operators.AnnOps
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted ANN index gates. The headline invariant is PARITY: the
+  * stored-index search paths must return row-identical results to the
+  * inline one-plan operators ([[graft.operators.AnnOps.annLsh]]/
+  * [[graft.operators.AnnOps.annIvf]]) — same planes/centers, same cap,
+  * same rescoring — so q21's recall gate transfers unchanged. The
+  * batch path must additionally PRUNE: its codes scan carries the
+  * probe-set filters down to the parquet partitions/row groups.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  private val dir = TestSpark.Sf0001
+  private val k = 5
+
+  private def rows(df: DataFrame): Set[(Long, Int, Long, Double)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-annidx-spec-").toString
+
+  test("persisted LSH: searchLshAll row-identical to inline annLsh") {
+    val spark = TestSpark.spark
+    val idx = tmp()
+    try {
+      val m = AnnIndex.buildLsh(spark, dir, idx)
+      val persisted = AnnIndex.searchLshAll(spark, idx, dir, k)
+      val inline = AnnOps.annLsh(spark, dir, k, nbits = m.nbits, tables = m.tables)
+      assert(rows(persisted) == rows(inline),
+        "persisted-index LSH search diverged from the inline operator")
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
+  test("persisted LSH batch: equals the bulk rows for those ids; scan is pruned") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val idx = tmp()
+    try {
+      AnnIndex.buildLsh(spark, dir, idx)
+      val ids = Seq(3L, 17L, 101L)
+      val batch = AnnIndex.searchLshBatch(spark, idx, dir, ids, k)
+      val bulk = AnnIndex.searchLshAll(spark, idx, dir, k)
+        .filter(col("vec_id").isin(ids: _*))
+      assert(rows(batch) == rows(bulk),
+        "batch path diverged from the bulk rows for the same query ids")
+      // the probe filters must reach the codes scan: partition pruning
+      // on shard, predicate pushdown on bucket
+      val plan = batch.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+        "codes scan lost the shard partition filter")
+      assert(plan.contains("PushedFilters") && plan.contains("bucket"),
+        "codes scan lost the bucket pushdown filter")
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
+  test("persisted IVF: searchIvfAll row-identical to inline annIvf") {
+    val spark = TestSpark.spark
+    val idx = tmp()
+    try {
+      AnnIndex.buildIvf(spark, dir, idx, nlist = 16)
+      val persisted = AnnIndex.searchIvfAll(spark, idx, dir, k, nprobe = 8)
+      val inline = AnnOps.annIvf(spark, dir, k, nlist = 16, nprobe = 8)
+      assert(rows(persisted) == rows(inline),
+        "persisted-index IVF search diverged from the inline operator")
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
+  test("IVF batch (vector-carrying codes): equals the bulk rows; zero corpus reads") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val idx = tmp()
+    try {
+      AnnIndex.buildIvf(spark, dir, idx, nlist = 16)
+      val ids = Seq(7L, 42L, 301L)
+      val batch = AnnIndex.searchIvfBatch(spark, idx, dir, ids, k, nprobe = 8)
+      val bulk = AnnIndex.searchIvfAll(spark, idx, dir, k, nprobe = 8)
+        .filter(col("vec_id").isin(ids: _*))
+      assert(rows(batch) == rows(bulk),
+        "IVF batch path diverged from the bulk rows for the same query ids")
+      // the rescore reads candidate vectors off the pruned codes scan —
+      // the executed batch plan must not contain a corpus-table scan
+      // (only the two driver-side collects touch it, outside this plan)
+      val plan = batch.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings.parquet"),
+        "vector-carrying batch plan still scans the corpus table")
+      assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+        "codes scan lost the shard partition filter")
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
+  test("LSH storeVecs: batch rows identical to the payload-free index's") {
+    val spark = TestSpark.spark
+    val idxPlain = tmp()
+    val idxVecs = tmp()
+    try {
+      AnnIndex.buildLsh(spark, dir, idxPlain)
+      AnnIndex.buildLsh(spark, dir, idxVecs, storeVecs = true)
+      val ids = Seq(3L, 17L, 101L)
+      val a = AnnIndex.searchLshBatch(spark, idxPlain, dir, ids, k)
+      val b = AnnIndex.searchLshBatch(spark, idxVecs, dir, ids, k)
+      assert(rows(a) == rows(b),
+        "stored-vector LSH batch diverged from the gather-join batch")
+      val plan = b.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings.parquet"),
+        "vector-carrying LSH batch plan still scans the corpus table")
+    } finally graft.operators.StreamingOps.deleteRec(idxPlain, idxVecs)
+  }
+
+  test("empty corpus: build commits a readable index; searches return empty") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val corpus = tmp()
+    val idx = tmp()
+    try {
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+        .write.parquet(s"$corpus/embeddings.parquet")
+      val m = AnnIndex.buildLsh(spark, corpus, idx)
+      assert(m.dim == 0 && m.n == 0)
+      assert(AnnIndex.searchLshAll(spark, idx, corpus, k).count() == 0)
+      assert(AnnIndex.searchLshBatch(spark, idx, corpus, Seq(1L), k).count() == 0)
+    } finally graft.operators.StreamingOps.deleteRec(corpus, idx)
+  }
+}
