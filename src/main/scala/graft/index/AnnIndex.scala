@@ -73,20 +73,17 @@ object AnnIndex {
     Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rnk", "nbr_id", "dist")
   }
 
-  /** The corpus coded into (vec_id, bucket) rows — one row per table,
-    * the same flatMap [[graft.operators.AnnOps.annLsh]] runs inline.
+  /** The corpus coded into (vec_id, bucket) rows — the SAME
+    * [[graft.operators.AnnOps.codeLsh]] pass [[graft.operators.AnnOps.annLsh]]
+    * runs inline, so index/inline row-identity is by construction.
     */
-  private def codedFrame(spark: SparkSession, sfDir: String, m: AnnMeta): DataFrame = {
-    import spark.implicits._
-    val planes = AnnOps.planeMatrix(m.tables, m.nbits, m.dim)
-    AnnOps.embDs(spark, sfDir).as[(Long, Seq[Double])]
-      .flatMap { case (id, e) =>
-        val ea = e.toArray
-        (0 until m.tables).map(t =>
-          (id, if (ea.length == m.dim) AnnOps.lshCodeFast(ea, planes, t)
-               else AnnOps.lshCode(e, t, m.nbits)))
-      }.toDF("vec_id", "bucket")
-  }
+  private def codedFrame(spark: SparkSession, sfDir: String, m: AnnMeta): DataFrame =
+    AnnOps.codeLsh(AnnOps.embDs(spark, sfDir), m.tables, m.nbits, m.dim)
+
+  private def requireKind(m: AnnMeta, kind: String, op: String): Unit =
+    require(m.kind == kind,
+      s"$op needs a $kind index, found kind=${m.kind} — " +
+        "built with the other build* method?")
 
   /** Build the sign-LSH index over `sfDir`'s embeddings into `outDir`.
     * One coding pass + one capped shuffle; codes land partitioned by
@@ -126,8 +123,17 @@ object AnnIndex {
   val CodesRowGroupBytes: Int = 8 * 1024 * 1024
 
   private def writeCodes(rows: DataFrame, numShards: Int, paths: AnnPaths): Unit =
+    // the sort MUST lead with the partition column: FileFormatWriter
+    // (V1Writes) requires an ordering by partitionBy columns and, when
+    // the child's ordering doesn't satisfy it, inserts its own sort by
+    // `shard` alone — silently DROPPING a ("bucket", "vec_id") user
+    // sort and voiding the row-group pruning this layout exists for
+    // (reproduced on 4.1.2: 8/8 files bucket-unsorted without the
+    // leading column). With "shard" first the required ordering is a
+    // prefix of ours, the user sort survives, and files come out
+    // bucket-sorted.
     rows.repartition(numShards, col("shard"))
-      .sortWithinPartitions("bucket", "vec_id")
+      .sortWithinPartitions("shard", "bucket", "vec_id")
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", CodesRowGroupBytes.toLong)
       .partitionBy("shard").parquet(paths.codes)
@@ -138,24 +144,6 @@ object AnnIndex {
       .write.mode(SaveMode.Overwrite).parquet(paths.codes)
   }
 
-  /** Exact-rescore every (q_id, nbr_id) candidate pair and keep top-k —
-    * the shared verify half of every search path here (identical to the
-    * inline operators': two id equi-joins, [[VectorOps.distCol]],
-    * bounded heap).
-    */
-  private def rescoreTopK(spark: SparkSession, sfDir: String,
-      pairIds: DataFrame, k: Int): DataFrame = {
-    val embds = AnnOps.embDs(spark, sfDir)
-    val cands = pairIds
-      .join(embds.select(col("vec_id").as("q_id"), col("emb").as("q_emb")), "q_id")
-      .join(embds.select(col("vec_id").as("nbr_id"), col("emb").as("n_emb")), "nbr_id")
-      .select(col("q_id"), col("nbr_id"),
-        VectorOps.distCol(col("q_emb"), col("n_emb")).as("dist"))
-    VectorOps.topKByDist(cands, k, "q_id", "nbr_id")
-      .select(col("q_id").as("vec_id"), col("rnk"), col("nbr_id"), col("dist"))
-      .orderBy("vec_id", "rnk")
-  }
-
   /** Bulk self-kNN through the stored index: codes the query side (the
     * whole corpus here), joins the PERSISTED capped bucket table. Row-
     * identical to [[graft.operators.AnnOps.annLsh]] at the same
@@ -164,6 +152,7 @@ object AnnIndex {
   def searchLshAll(spark: SparkSession, indexDir: String, sfDir: String,
       k: Int = 5): DataFrame = {
     val m = readMeta(spark, indexDir)
+    requireKind(m, "lsh", "searchLshAll")
     if (m.dim == 0) return emptyResult(spark)
     val indexed = spark.read.parquet(AnnPaths(indexDir).codes)
       .select(col("vec_id").as("nbr_id"), col("bucket"))
@@ -172,7 +161,7 @@ object AnnIndex {
       .join(indexed, "bucket")
       .select("q_id", "nbr_id")
       .distinct()
-    rescoreTopK(spark, sfDir, pairIds, k)
+    AnnOps.rescoreTopK(spark, sfDir, pairIds, k)
   }
 
   /** Bounded-batch kNN: code the batch DRIVER-side, derive its probe
@@ -186,6 +175,7 @@ object AnnIndex {
       queryIds: Seq[Long], k: Int = 5): DataFrame = {
     import spark.implicits._
     val m = readMeta(spark, indexDir)
+    requireKind(m, "lsh", "searchLshBatch")
     if (m.dim == 0 || queryIds.isEmpty) return emptyResult(spark)
     val planes = AnnOps.planeMatrix(m.tables, m.nbits, m.dim)
     val qvecs = AnnOps.embDs(spark, sfDir)
@@ -197,9 +187,8 @@ object AnnIndex {
         (id, if (ea.length == m.dim) AnnOps.lshCodeFast(ea, planes, t)
              else AnnOps.lshCode(e, t, m.nbits)))
     }
-    val buckets = qBuckets.map(_._2).distinct.sorted
     batchFromProbe(spark, AnnPaths(indexDir), m, sfDir,
-      qBuckets.toIndexedSeq, qvecs, buckets.toIndexedSeq, k)
+      qBuckets.toIndexedSeq, qvecs, k)
   }
 
   /** Shared batch tail: pruned codes scan × broadcast probe set. With
@@ -211,8 +200,11 @@ object AnnIndex {
     */
   private def batchFromProbe(spark: SparkSession, paths: AnnPaths, m: AnnMeta,
       sfDir: String, qBuckets: Seq[(Long, Long)], qvecs: Array[(Long, Seq[Double])],
-      buckets: Seq[Long], k: Int): DataFrame = {
+      k: Int): DataFrame = {
     import spark.implicits._
+    // probe bucket/shard sets derived HERE from the (q, bucket) pairs —
+    // a caller cannot hand in a filter set inconsistent with the probe
+    val buckets = qBuckets.map(_._2).distinct.sorted
     val shards = buckets.map(b => java.lang.Math.floorMod(b, m.numShards.toLong).toInt)
       .distinct.sorted
     val scan = spark.read.parquet(paths.codes)
@@ -236,15 +228,15 @@ object AnnIndex {
         .join(broadcast(probe), "bucket")
         .select("q_id", "nbr_id")
         .distinct()
-      rescoreTopK(spark, sfDir, pairIds, k)
+      AnnOps.rescoreTopK(spark, sfDir, pairIds, k)
     }
   }
 
   /** Build the IVF index: centers trained on a deterministic bounded
     * sample ([[graft.operators.CentersOps.fftSampled]] — NOT nlist
     * sequential full-corpus jobs), every vector assigned to its nearest
-    * center by one broadcast join, assignments stored in the same
-    * (shard, bucket=cell, vec_id) layout as LSH codes.
+    * center by one fused broadcast-exhaustive scan, assignments stored
+    * in the same (shard, bucket=cell, vec_id) layout as LSH codes.
     */
   def buildIvf(spark: SparkSession, sfDir: String, outDir: String, nlist: Int = 0,
       sampleFactor: Int = 16, numShards: Int = 8): AnnMeta = {
@@ -264,10 +256,12 @@ object AnnIndex {
           col("embedding").cast("array<double>").as("cemb"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(paths.centers)
       val cembs = spark.read.parquet(paths.centers)
-      val cellPairs = AnnOps.embDs(spark, sfDir).crossJoin(broadcast(cembs))
-        .select(col("vec_id"), col("cell"),
-          VectorOps.distCol(col("emb"), col("cemb")).as("dist"))
-      val assigned = VectorOps.topKByDist(cellPairs, 1, "vec_id", "cell")
+      // nearest-cell assignment through the fused broadcast-exhaustive
+      // kernel (centers ≤ 4096 rows broadcast; one tight JVM scan per
+      // vector, zero intermediate rows/shuffle) — same rows as the
+      // crossJoin→topK form by the kernel's pinned bit-identity
+      val assigned = VectorOps.fusedExhaustiveKnn(
+          AnnOps.embDs(spark, sfDir), cembs, 1, "vec_id", "cell")
         .select(pmod(col("cell"), lit(numShards.toLong)).cast("int").as("shard"),
           col("cell").as("bucket"), col("vec_id"))
         .join(AnnOps.embDs(spark, sfDir), "vec_id")
@@ -294,6 +288,7 @@ object AnnIndex {
       queryIds: Seq[Long], k: Int = 5, nprobe: Int = 0): DataFrame = {
     import spark.implicits._
     val m = readMeta(spark, indexDir)
+    requireKind(m, "ivf", "searchIvfBatch")
     if (m.dim == 0 || queryIds.isEmpty) return emptyResult(spark)
     val np = if (nprobe > 0) nprobe else m.nprobe0
     val cents = spark.read.parquet(AnnPaths(indexDir).centers)
@@ -309,9 +304,8 @@ object AnnIndex {
         .take(np)
         .map { case (q2, c, _) => (q2, c) }
     }
-    val buckets = qCells.map(_._2).distinct.sorted
     batchFromProbe(spark, AnnPaths(indexDir), m, sfDir,
-      qCells.toIndexedSeq, qvecs, buckets.toIndexedSeq, k)
+      qCells.toIndexedSeq, qvecs, k)
   }
 
   /** Bulk self-kNN through the stored IVF index: rank the stored
@@ -325,21 +319,19 @@ object AnnIndex {
   def searchIvfAll(spark: SparkSession, indexDir: String, sfDir: String,
       k: Int = 5, nprobe: Int = 0): DataFrame = {
     val m = readMeta(spark, indexDir)
+    requireKind(m, "ivf", "searchIvfAll")
     if (m.dim == 0) return emptyResult(spark)
     val np = if (nprobe > 0) nprobe else m.nprobe0
     val cembs = spark.read.parquet(AnnPaths(indexDir).centers)
     val emb = AnnOps.embDs(spark, sfDir)
-    val cellPairs = emb.crossJoin(broadcast(cembs))
-      .select(col("vec_id"), col("cell"),
-        VectorOps.distCol(col("emb"), col("cemb")).as("dist"))
-    val probe = VectorOps.topKByDist(cellPairs, np, "vec_id", "cell")
+    val probe = VectorOps.fusedExhaustiveKnn(emb, cembs, np, "vec_id", "cell")
       .select(col("vec_id").as("q_id"), col("cell").as("bucket"))
     val indexed = spark.read.parquet(AnnPaths(indexDir).codes)
       .select(col("vec_id").as("nbr_id"), col("bucket"))
     val pairIds = probe.join(indexed, "bucket")
       .select("q_id", "nbr_id")
       .distinct()
-    rescoreTopK(spark, sfDir, pairIds, k)
+    AnnOps.rescoreTopK(spark, sfDir, pairIds, k)
   }
 
   /** Registry entry (q44): build the LSH index to a throwaway dir, run
@@ -349,8 +341,11 @@ object AnnIndex {
     */
   def annPersistedOnCorpus(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     val idx = java.nio.file.Files.createTempDirectory("graft-annidx-").toString
-    buildLsh(spark, sfDir, idx)
-    try graft.operators.StreamingOps.localized(searchLshAll(spark, idx, sfDir, k))
-    finally graft.operators.StreamingOps.deleteRec(idx)
+    // build INSIDE the try: a failed mid-write build must not leak the
+    // partially-written temp index
+    try {
+      buildLsh(spark, sfDir, idx)
+      graft.operators.StreamingOps.localized(searchLshAll(spark, idx, sfDir, k))
+    } finally graft.operators.StreamingOps.deleteRec(idx)
   }
 }

@@ -122,16 +122,7 @@ object AnnOps {
     if (dimOpt.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rnk", "nbr_id", "dist")
     val dim = dimOpt.get
-    val planes = planeMatrix(tables, bits, dim)
-    val coded = embds.as[(Long, Seq[Double])]
-      .flatMap { case (id, e) =>
-        val ea = e.toArray
-        (0 until tables).map(t =>
-          // rows of unexpected width (none in practice) keep the exact
-          // per-component derivation
-          (id, if (ea.length == dim) lshCodeFast(ea, planes, t)
-               else lshCode(e, t, bits)))
-      }.toDF("vec_id", "bucket")
+    val coded = codeLsh(embds, tables, bits, dim)
     // per-bucket cap through the shared bounded-heap aggregator (dist =
     // vec_id keeps the LOWEST ids, the pinned deterministic choice): the
     // former row_number window sorted each bucket in ONE reducer task —
@@ -147,6 +138,38 @@ object AnnOps {
       .join(indexed.select(col("vec_id").as("nbr_id"), col("bucket")), "bucket")
       .select("q_id", "nbr_id")
       .distinct()
+    rescoreTopK(spark, sfDir, pairIds, k)
+  }
+
+  /** The corpus coded into (vec_id, bucket) rows, one row per table —
+    * THE sign-LSH coding pass, shared verbatim by the inline operator
+    * ([[annLsh]]) and the persisted index ([[graft.index.AnnIndex]]) so
+    * their row-identity is by construction, not by parallel evolution.
+    * Rows of unexpected width (none in practice) keep the exact
+    * per-component derivation.
+    */
+  private[graft] def codeLsh(embds: DataFrame, tables: Int, nbits: Int,
+      dim: Int): DataFrame = {
+    import embds.sparkSession.implicits._
+    val planes = planeMatrix(tables, nbits, dim)
+    embds.as[(Long, Seq[Double])]
+      .flatMap { case (id, e) =>
+        val ea = e.toArray
+        (0 until tables).map(t =>
+          (id, if (ea.length == dim) lshCodeFast(ea, planes, t)
+               else lshCode(e, t, nbits)))
+      }.toDF("vec_id", "bucket")
+  }
+
+  /** Exact-rescore every (q_id, nbr_id) candidate pair against the
+    * corpus embeddings and keep top-k — the shared verify half of every
+    * bucketed ANN path (two id equi-joins, [[VectorOps.distCol]],
+    * bounded heap), used by [[annLsh]] and the persisted index's
+    * gather-join searches.
+    */
+  private[graft] def rescoreTopK(spark: SparkSession, sfDir: String,
+      pairIds: DataFrame, k: Int): DataFrame = {
+    val embds = embDs(spark, sfDir)
     val cands = pairIds
       .join(embds.select(col("vec_id").as("q_id"), col("emb").as("q_emb")), "q_id")
       .join(embds.select(col("vec_id").as("nbr_id"), col("emb").as("n_emb")), "nbr_id")
@@ -162,7 +185,8 @@ object AnnOps {
     * O(√n·nprobe) instead of the fixed-16-cell O(n) of round 1. The
     * 4096 clamp bounds the broadcast center table (and the sampled
     * training cost, O(nlist·sample·d) driver flops —
-    * [[CentersOps.fftSampled]]); cell assignment is a broadcast join at
+    * [[CentersOps.fftSampled]]); cell assignment is a fused
+    * broadcast-exhaustive scan ([[VectorOps.fusedExhaustiveKnn]]) at
     * any nlist.
     */
   private[graft] def deriveNlist(n: Long): Int =
@@ -185,15 +209,15 @@ object AnnOps {
       .filter(col("vec_id").isin(cents.toIndexedSeq: _*))
       .select(col("vec_id").as("cell"), col("embedding").cast("array<double>").as("cemb"))
     val emb = embDs(spark, sfDir)
-    // assignment: nearest-np cells per vector through the shared heap
-    // aggregator on PAYLOAD-FREE (vec_id, cell, dist) rows — the window
-    // form sorted n·nlist rows per vector with the 64-dim embedding
-    // array riding through the shuffle; here ~np rows per (partition,
-    // vector) shuffle and the embeddings rejoin on n rows afterwards
-    val cellPairs = emb.crossJoin(broadcast(cembs))
-      .select(col("vec_id"), col("cell"),
-        VectorOps.distCol(col("emb"), col("cemb")).as("dist"))
-    val cellRank = VectorOps.topKByDist(cellPairs, np, "vec_id", "cell")
+    // assignment: nearest-np cells per vector through the FUSED
+    // broadcast-exhaustive kernel (the q04 kernel — centers are ≤4096
+    // rows, the canonical broadcast side). The crossJoin→aggregator
+    // form materialized n·nlist Catalyst rows and shuffled ~np rows per
+    // (partition, vector); the fused scan does the same flops in a
+    // tight JVM loop with ZERO intermediate rows and ZERO shuffle —
+    // identical output by construction (jvmDist ≡ distCol bit-for-bit,
+    // same pinned-tie-rule heap; q04's DuckDB oracle pins the kernel)
+    val cellRank = VectorOps.fusedExhaustiveKnn(emb, cembs, np, "vec_id", "cell")
     val data = cellRank.filter(col("rnk") === 1).select("vec_id", "cell")
       .join(emb, "vec_id").select("vec_id", "emb", "cell")
     val queries = cellRank.select(col("vec_id"), col("cell"))

@@ -146,7 +146,7 @@ object VectorOps {
     * The broadcast is reclaimed by Spark's ContextCleaner once the
     * returned plan is unreferenced.
     */
-  private[operators] def fusedExhaustiveKnn(queries: DataFrame, db: DataFrame,
+  private[graft] def fusedExhaustiveKnn(queries: DataFrame, db: DataFrame,
       k: Int, outGroup: String, outId: String): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._

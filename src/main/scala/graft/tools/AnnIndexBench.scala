@@ -66,7 +66,9 @@ object AnnIndexBench {
         f"(nlist=${mI.nlist}, ${n / tIvf}%.0f vec/s)")
       val ids = (0 until batch).map(i => (i.toLong * 997L) % n)
 
-      // 1. no index: the inline operator's per-batch cost shape
+      // 1. no index: the inline operator's per-batch cost shape — the
+      // SAME shared coding/rescore helpers the operator and the index
+      // use, so the comparison measures layout, not implementation skew
       val (tNone, rNone) = minOf2 {
         val planes = graft.operators.AnnOps.planeMatrix(mL.tables, mL.nbits, dim)
         val qb = graft.operators.AnnOps.embDs(spark, corpus)
@@ -74,20 +76,12 @@ object AnnIndexBench {
           .flatMap { case (q, e) => (0 until mL.tables).map(t =>
             (q, graft.operators.AnnOps.lshCodeFast(e.toArray, planes, t))) }
           .toIndexedSeq.toDF("q_id", "bucket")
-        val coded = graft.operators.AnnOps.embDs(spark, corpus)
-          .as[(Long, Seq[Double])]
-          .flatMap { case (id, e) => (0 until mL.tables).map(t =>
-            (id, graft.operators.AnnOps.lshCodeFast(e.toArray, planes, t))) }
-          .toDF("nbr_id", "bucket")
+        val coded = graft.operators.AnnOps
+          .codeLsh(graft.operators.AnnOps.embDs(spark, corpus), mL.tables, mL.nbits, dim)
+          .withColumnRenamed("vec_id", "nbr_id")
         val pairs = coded.join(broadcast(qb), "bucket")
           .select("q_id", "nbr_id").distinct()
-        val embds = graft.operators.AnnOps.embDs(spark, corpus)
-        val cands = pairs
-          .join(embds.select(col("vec_id").as("q_id"), col("emb").as("q_emb")), "q_id")
-          .join(embds.select(col("vec_id").as("nbr_id"), col("emb").as("n_emb")), "nbr_id")
-          .select(col("q_id"), col("nbr_id"),
-            graft.operators.VectorOps.distCol(col("q_emb"), col("n_emb")).as("dist"))
-        graft.operators.VectorOps.topKByDist(cands, 5, "q_id", "nbr_id").count()
+        graft.operators.AnnOps.rescoreTopK(spark, corpus, pairs, 5).count()
       }
       println(f"[annbench] batch($batch) NO index (code corpus + gather): " +
         f"$tNone%.2f s ($rNone rows)")
@@ -98,17 +92,21 @@ object AnnIndexBench {
       println(f"[annbench] batch($batch) payload-free LSH index: " +
         f"$tPlain%.2f s ($rPlain rows, ${tNone / tPlain}%.1fx vs no index)")
 
-      // 3. vector-carrying persisted codes: zero corpus reads
-      val (tVecs, rVecs) = minOf2(
-        graft.index.AnnIndex.searchIvfBatch(spark, ivfIdx, corpus, ids, 5, 8).count())
+      // 3. vector-carrying persisted codes: zero corpus reads. Keep the
+      // last timed DataFrame so the plan-shape check reads its already-
+      // executed plan instead of re-running the whole batch (collects
+      // included) a fourth time.
+      var ivfDf: org.apache.spark.sql.DataFrame = null
+      val (tVecs, rVecs) = minOf2 {
+        ivfDf = graft.index.AnnIndex.searchIvfBatch(spark, ivfIdx, corpus, ids, 5, 8)
+        ivfDf.count()
+      }
       println(f"[annbench] batch($batch) vector-carrying IVF index (nprobe=8): " +
         f"$tVecs%.2f s ($rVecs rows, ${tNone / tVecs}%.1fx vs no index)")
 
       val allFiles = spark.read.parquet(s"$ivfIdx/codes")
         .select(input_file_name()).distinct().count()
-      val plan = graft.index.AnnIndex
-        .searchIvfBatch(spark, ivfIdx, corpus, ids, 5, 8)
-        .queryExecution.executedPlan.toString
+      val plan = ivfDf.queryExecution.executedPlan.toString
       println(s"[annbench] ivf codes files: $allFiles; batch plan corpus-free=" +
         (!plan.contains("embeddings.parquet")) +
         " partition-pruned=" + plan.contains("PartitionFilters"))

@@ -111,6 +111,50 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally graft.operators.StreamingOps.deleteRec(idxPlain, idxVecs)
   }
 
+  test("codes files are bucket-sorted (row-group pruning precondition)") {
+    // V1Writes requires an ordering by the partition column and silently
+    // REPLACES a sortWithinPartitions that doesn't lead with it — which
+    // voids the tight per-row-group bucket min/max the batch pruning
+    // depends on. This reads each written file back in file order and
+    // asserts the (bucket, vec_id) sort actually survived the write.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val idx = tmp()
+    try {
+      AnnIndex.buildLsh(spark, dir, idx)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val files = fs.listFiles(new org.apache.hadoop.fs.Path(s"$idx/codes"), true)
+      var checked = 0
+      while (files.hasNext) {
+        val f = files.next().getPath.toString
+        if (f.endsWith(".parquet")) {
+          val rows = spark.read.parquet(f)
+            .select(col("bucket"), col("vec_id")).as[(Long, Long)].collect()
+          assert(rows.sameElements(rows.sortBy(identity)),
+            s"codes file not (bucket, vec_id)-sorted: $f")
+          checked += 1
+        }
+      }
+      assert(checked > 0, "no codes files found to check")
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
+  test("searching an index with the wrong kind fails loudly, not empty") {
+    val spark = TestSpark.spark
+    val idx = tmp()
+    try {
+      AnnIndex.buildIvf(spark, dir, idx, nlist = 16)
+      val e = intercept[IllegalArgumentException](
+        AnnIndex.searchLshBatch(spark, idx, dir, Seq(3L), k))
+      assert(e.getMessage.contains("lsh"))
+      val e2 = intercept[IllegalArgumentException](
+        AnnIndex.searchLshAll(spark, idx, dir, k))
+      assert(e2.getMessage.contains("lsh"))
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
   test("empty corpus: build commits a readable index; searches return empty") {
     val spark = TestSpark.spark
     import spark.implicits._

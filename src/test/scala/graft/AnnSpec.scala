@@ -75,6 +75,32 @@ class AnnSpec extends AnyFunSuite {
     } finally graft.operators.StreamingOps.deleteRec(sparse)
   }
 
+  test("fused cell assignment ≡ crossJoin+topKByDist (the form it replaced)") {
+    // IVF assignment runs through VectorOps.fusedExhaustiveKnn with the
+    // center table as the broadcast db; this pins row-identity against
+    // the declarative crossJoin→bounded-heap form at np > 1, so the
+    // kernel swap can never silently shift cell assignments
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val cents = graft.operators.CentersOps.fftSampled(spark, dir, 16)
+    val cembs = graft.corpus.Corpus.embeddings(spark, dir)
+      .filter(col("vec_id").isin(cents.toIndexedSeq: _*))
+      .select(col("vec_id").as("cell"),
+        col("embedding").cast("array<double>").as("cemb"))
+    val emb = graft.corpus.Corpus.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val fused = VectorOps.fusedExhaustiveKnn(emb, cembs, 8, "vec_id", "cell")
+    val pairs = emb.crossJoin(broadcast(cembs))
+      .select(col("vec_id"), col("cell"),
+        VectorOps.distCol(col("emb"), col("cemb")).as("dist"))
+    val decl = VectorOps.topKByDist(pairs, 8, "vec_id", "cell")
+    val f = fused.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val d = decl.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(f == d, "fused assignment diverged from the declarative form")
+  }
+
   test("LSH ANN: empty embeddings table → empty result, not an exception") {
     val spark = TestSpark.spark
     import spark.implicits._
