@@ -58,14 +58,28 @@ object AnnIndex {
     * query that doesn't read them. Cost: ×1 vector duplication for IVF
     * (each vector lives in exactly one cell — always on), ×tables for
     * LSH (opt-in `storeVecs`).
+    * qlevels > 0 = the carried vectors are SQMinC-quantized (the q39
+    * codec: per-vector (lo, c) affine, `levels` steps — /root/reference/
+    * src/sq/sq.jl:10-13) and bit-packed into a `qcode` binary column
+    * instead of an f64 array: 64 doubles = 512 B become 64/16/32 codes
+    * = 64 B (u8) + 2 doubles of params — the footprint dial that makes
+    * vector-carrying affordable at 10^12 rows. Searches decode with the
+    * SAME expression family as the inline q39 operator, so an
+    * exhaustive probe is bit-identical to it (the q45 oracle gate).
     */
   final case class AnnMeta(kind: String, tables: Int, nbits: Int, dim: Int,
       n: Long, numShards: Int, bucketCap: Int, nlist: Int, nprobe0: Int,
-      vecs: Boolean)
+      vecs: Boolean, qlevels: Int)
 
   private def readMeta(spark: SparkSession, indexDir: String): AnnMeta = {
     import spark.implicits._
-    spark.read.parquet(AnnPaths(indexDir).meta).as[AnnMeta].head()
+    // indexes persisted before the quantization field existed lack the
+    // qlevels column; default it to 0 (f64 payload — exactly what those
+    // indexes store) instead of failing the whole build-once contract
+    val raw = spark.read.parquet(AnnPaths(indexDir).meta)
+    val withQ = if (raw.columns.contains("qlevels")) raw
+                else raw.withColumn("qlevels", lit(0))
+    withQ.as[AnnMeta].head()
   }
 
   private def emptyResult(spark: SparkSession): DataFrame = {
@@ -99,7 +113,7 @@ object AnnIndex {
       .select(size(col("emb"))).as[Int].head(1).headOption
     val bits = if (nbits > 0) nbits else AnnOps.deriveNbits(n)
     val m = AnnMeta("lsh", tables, bits, dimOpt.getOrElse(0), n, numShards,
-      AnnOps.BucketCap, 0, 0, vecs = storeVecs && dimOpt.isDefined)
+      AnnOps.BucketCap, 0, 0, vecs = storeVecs && dimOpt.isDefined, qlevels = 0)
     if (dimOpt.isDefined) {
       val capped = VectorOps.topKByDist(
           codedFrame(spark, sfDir, m).select(col("bucket"), col("vec_id"),
@@ -143,6 +157,47 @@ object AnnIndex {
     Seq.empty[(Int, Long, Long)].toDF("shard", "bucket", "vec_id")
       .write.mode(SaveMode.Overwrite).parquet(paths.codes)
   }
+
+  /** Bits per stored code for a quantization level count — the same
+    * three rungs as the inline SQ family (q29/q32/q33: u8/u4/u2).
+    */
+  private def bitsFor(levels: Int): Int = levels match {
+    case 255 => 8
+    case 15  => 4
+    case 3   => 2
+    case other => throw new IllegalArgumentException(
+      s"quantLevels must be 255 (u8), 15 (u4) or 3 (u2); got $other")
+  }
+
+  /** Pack the Catalyst-computed code array (exact small integers as
+    * doubles — [[graft.operators.DistanceOps.sqMinCCodes]]) into the
+    * stored binary. Packing is pure storage transcoding
+    * ([[graft.operators.DistanceOps.SqPack]]); the VALUES were produced
+    * by the same `round` expression the inline q39 operator uses, so
+    * the quantization grid is pinned by its oracle.
+    */
+  private def packUdf(bits: Int) =
+    udf((codes: Seq[Double]) =>
+      graft.operators.DistanceOps.SqPack.pack(codes.map(_.toInt).toArray, bits))
+
+  /** Unpack + dequantize stored codes back to the vector the rescoring
+    * joins consume: `lo + code·c` — the identical IEEE multiply-add
+    * Catalyst performs inside [[graft.operators.DistanceOps.sqMinCDeq]]
+    * (codes are exact integers in double, so splitting the expression
+    * at the code boundary loses nothing).
+    */
+  private def decodeUdf(dim: Int, bits: Int) =
+    udf((qcode: Array[Byte], lo: Double, c: Double) =>
+      graft.operators.DistanceOps.SqPack.unpack(qcode, dim, bits)
+        .map(code => lo + code * c))
+
+  /** The codes scan with quantized payloads decoded to an `emb` column
+    * — the shape the f64 vector-carrying scan has natively.
+    */
+  private def decodedScan(scan: DataFrame, m: AnnMeta): DataFrame =
+    scan.select(col("bucket"), col("vec_id"),
+      decodeUdf(m.dim, bitsFor(m.qlevels))(
+        col("qcode"), col("qlo"), col("qc")).as("emb"))
 
   /** Bulk self-kNN through the stored index: codes the query side (the
     * whole corpus here), joins the PERSISTED capped bucket table. Row-
@@ -197,6 +252,12 @@ object AnnIndex {
     * payload-free index gathers candidate vectors by id instead (two
     * corpus probe joins — fine when batches are large, the whole cost
     * at 10^9 rows when they're not).
+    *
+    * `qvecs` are the query vectors in RESCORE space: raw for an f64
+    * payload, DEQUANTIZED (the caller ran the q39 dequant transform)
+    * for a quantized one — so the distance is computed between two
+    * members of the same quantization grid, exactly like the inline
+    * SQMinC operator.
     */
   private def batchFromProbe(spark: SparkSession, paths: AnnPaths, m: AnnMeta,
       sfDir: String, qBuckets: Seq[(Long, Long)], qvecs: Array[(Long, Seq[Double])],
@@ -214,7 +275,10 @@ object AnnIndex {
       val qe = qvecs.toMap
       val probe = qBuckets.map { case (q, b) => (q, b, qe(q)) }
         .toDF("q_id", "bucket", "q_emb")
-      val cands = scan.select(col("bucket"), col("vec_id").as("nbr_id"), col("emb"))
+      val nbrSide =
+        if (m.qlevels > 0) decodedScan(scan, m)
+        else scan.select(col("bucket"), col("vec_id"), col("emb"))
+      val cands = nbrSide.select(col("bucket"), col("vec_id").as("nbr_id"), col("emb"))
         .join(broadcast(probe), "bucket")
         .select(col("q_id"), col("nbr_id"),
           VectorOps.distCol(col("q_emb"), col("emb")).as("dist"))
@@ -237,17 +301,24 @@ object AnnIndex {
     * sequential full-corpus jobs), every vector assigned to its nearest
     * center by one fused broadcast-exhaustive scan, assignments stored
     * in the same (shard, bucket=cell, vec_id) layout as LSH codes.
+    *
+    * `quantLevels` > 0 stores SQMinC-quantized payloads instead of f64
+    * arrays (see [[AnnMeta]]): assignment still runs on the RAW vectors
+    * (cells are just partitions — quantization only changes the stored
+    * rescoring payload, the same split FAISS makes between its
+    * coarse quantizer and its code storage).
     */
   def buildIvf(spark: SparkSession, sfDir: String, outDir: String, nlist: Int = 0,
-      sampleFactor: Int = 16, numShards: Int = 8): AnnMeta = {
+      sampleFactor: Int = 16, numShards: Int = 8, quantLevels: Int = 0): AnnMeta = {
     import spark.implicits._
+    if (quantLevels > 0) bitsFor(quantLevels) // validate up front
     val paths = AnnPaths(outDir)
     val n = VectorOps.embCount(spark, sfDir)
     val dimOpt = AnnOps.embDs(spark, sfDir)
       .select(size(col("emb"))).as[Int].head(1).headOption
     val nl = if (nlist > 0) nlist else AnnOps.deriveNlist(n)
     val m = AnnMeta("ivf", 0, 0, dimOpt.getOrElse(0), n, numShards,
-      0, nl, math.max(1, nl / 2), vecs = dimOpt.isDefined)
+      0, nl, math.max(1, nl / 2), vecs = dimOpt.isDefined, qlevels = quantLevels)
     if (dimOpt.isDefined) {
       val cents = CentersOps.fftSampled(spark, sfDir, nl, sampleFactor)
       Corpus.embeddings(spark, sfDir)
@@ -260,11 +331,23 @@ object AnnIndex {
       // kernel (centers ≤ 4096 rows broadcast; one tight JVM scan per
       // vector, zero intermediate rows/shuffle) — same rows as the
       // crossJoin→topK form by the kernel's pinned bit-identity
-      val assigned = VectorOps.fusedExhaustiveKnn(
+      val cells = VectorOps.fusedExhaustiveKnn(
           AnnOps.embDs(spark, sfDir), cembs, 1, "vec_id", "cell")
         .select(pmod(col("cell"), lit(numShards.toLong)).cast("int").as("shard"),
           col("cell").as("bucket"), col("vec_id"))
         .join(AnnOps.embDs(spark, sfDir), "vec_id")
+      val assigned =
+        if (quantLevels > 0) {
+          val (qlo, qc) = graft.operators.DistanceOps
+            .sqMinCParams(col("emb"), quantLevels)
+          cells
+            .select(col("shard"), col("bucket"), col("vec_id"), col("emb"),
+              qlo.as("qlo"), qc.as("qc"))
+            .select(col("shard"), col("bucket"), col("vec_id"),
+              col("qlo"), col("qc"),
+              packUdf(bitsFor(quantLevels))(graft.operators.DistanceOps
+                .sqMinCCodes(col("emb"), col("qlo"), col("qc"))).as("qcode"))
+        } else cells
       writeCodes(assigned, numShards, paths)
     } else {
       Seq.empty[(Long, Seq[Double])].toDF("cell", "cemb")
@@ -294,10 +377,23 @@ object AnnIndex {
     val cents = spark.read.parquet(AnnPaths(indexDir).centers)
       .as[(Long, Seq[Double])].collect()
       .map { case (c, e) => (c, e.toArray) }
-    val qvecs = AnnOps.embDs(spark, sfDir)
+    val embQ = AnnOps.embDs(spark, sfDir)
       .filter(col("vec_id").isin(queryIds: _*))
-      .as[(Long, Seq[Double])].collect()
-    val qCells = qvecs.flatMap { case (q, e) =>
+    // cell ranking always runs on the RAW vector (the space the build
+    // assigned in); for a quantized index the RESCORE vector is the
+    // dequantized one — computed by the same Catalyst expressions as
+    // the inline q39 operator, in the same collect job
+    val qboth =
+      if (m.qlevels > 0) {
+        val (qlo, qc) = graft.operators.DistanceOps
+          .sqMinCParams(col("emb"), m.qlevels)
+        embQ.select(col("vec_id"), col("emb"), qlo.as("qlo"), qc.as("qc"))
+          .select(col("vec_id"), col("emb"), graft.operators.DistanceOps
+            .sqMinCDeq(col("emb"), col("qlo"), col("qc")).as("dq"))
+          .as[(Long, Seq[Double], Seq[Double])].collect()
+      } else embQ.select(col("vec_id"), col("emb"), col("emb"))
+        .as[(Long, Seq[Double], Seq[Double])].collect()
+    val qCells = qboth.flatMap { case (q, e, _) =>
       val ea = e.toArray
       cents.map { case (c, ce) => (q, c, VectorOps.jvmDist(ea, ce)) }
         .sortBy { case (_, c, d) => (d, c) }
@@ -305,7 +401,7 @@ object AnnIndex {
         .map { case (q2, c, _) => (q2, c) }
     }
     batchFromProbe(spark, AnnPaths(indexDir), m, sfDir,
-      qCells.toIndexedSeq, qvecs, k)
+      qCells.toIndexedSeq, qboth.map { case (q, _, d) => (q, d) }, k)
   }
 
   /** Bulk self-kNN through the stored IVF index: rank the stored
@@ -324,14 +420,43 @@ object AnnIndex {
     val np = if (nprobe > 0) nprobe else m.nprobe0
     val cembs = spark.read.parquet(AnnPaths(indexDir).centers)
     val emb = AnnOps.embDs(spark, sfDir)
+    // cell ranking on the RAW vectors — the space the build assigned in
     val probe = VectorOps.fusedExhaustiveKnn(emb, cembs, np, "vec_id", "cell")
       .select(col("vec_id").as("q_id"), col("cell").as("bucket"))
-    val indexed = spark.read.parquet(AnnPaths(indexDir).codes)
-      .select(col("vec_id").as("nbr_id"), col("bucket"))
-    val pairIds = probe.join(indexed, "bucket")
-      .select("q_id", "nbr_id")
-      .distinct()
-    AnnOps.rescoreTopK(spark, sfDir, pairIds, k)
+    if (m.qlevels > 0) {
+      // quantized payload: candidates decode off the index scan, the
+      // query side dequantizes through the SAME q39 expressions —
+      // distances live on the quantization grid on both sides, so at
+      // nprobe = nlist this is row-identical to the inline SQMinC kNN
+      // (the q45 oracle gate)
+      val nbrs = decodedScan(spark.read.parquet(AnnPaths(indexDir).codes), m)
+        .select(col("vec_id").as("nbr_id"), col("bucket"), col("emb").as("n_emb"))
+      val (qlo, qc) = graft.operators.DistanceOps
+        .sqMinCParams(col("emb"), m.qlevels)
+      val deqQ = emb
+        .select(col("vec_id"), col("emb"), qlo.as("qlo"), qc.as("qc"))
+        .select(col("vec_id").as("q_id"), graft.operators.DistanceOps
+          .sqMinCDeq(col("emb"), col("qlo"), col("qc")).as("q_emb"))
+      // no distinct: each IVF vector lives in exactly one cell and the
+      // probe emits distinct cells per query, so (q_id, nbr_id) pairs
+      // are unique by construction — a dedup here would shuffle every
+      // dist-bearing candidate row (n² at the q45 exhaustive probe)
+      // for zero row reduction
+      val cands = probe.join(nbrs, "bucket")
+        .join(deqQ, "q_id")
+        .select(col("q_id"), col("nbr_id"),
+          VectorOps.distCol(col("q_emb"), col("n_emb")).as("dist"))
+      VectorOps.topKByDist(cands, k, "q_id", "nbr_id")
+        .select(col("q_id").as("vec_id"), col("rnk"), col("nbr_id"), col("dist"))
+        .orderBy("vec_id", "rnk")
+    } else {
+      val indexed = spark.read.parquet(AnnPaths(indexDir).codes)
+        .select(col("vec_id").as("nbr_id"), col("bucket"))
+      val pairIds = probe.join(indexed, "bucket")
+        .select("q_id", "nbr_id")
+        .distinct()
+      AnnOps.rescoreTopK(spark, sfDir, pairIds, k)
+    }
   }
 
   /** Registry entry (q44): build the LSH index to a throwaway dir, run
@@ -346,6 +471,26 @@ object AnnIndex {
     try {
       buildLsh(spark, sfDir, idx)
       graft.operators.StreamingOps.localized(searchLshAll(spark, idx, sfDir, k))
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
+  /** Registry entry (q45): build a QUANTIZED (SQMinC u8) IVF index and
+    * search it with nprobe = nlist — an exhaustive probe, so the result
+    * is the full kNN over the quantization grid: bit-identical to the
+    * inline q39 operator ([[graft.operators.DistanceOps.sqMinCKnn]])
+    * and therefore to its DuckDB oracle. That one gate pins the whole
+    * stored-code path end-to-end: quantize → pack → write → pruned
+    * read → unpack → dequantize → distance → rank. The production
+    * shape is the same index at nprobe ≪ nlist (recall-gated like
+    * q22); exhaustive probing is O(n²), hence the gold-path guard.
+    */
+  def sqIvfPersistedOnCorpus(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    VectorOps.guardExact(spark, VectorOps.embCount(spark, sfDir))
+    val idx = java.nio.file.Files.createTempDirectory("graft-sqidx-").toString
+    try {
+      val m = buildIvf(spark, sfDir, idx, nlist = 16, quantLevels = 255)
+      graft.operators.StreamingOps.localized(
+        searchIvfAll(spark, idx, sfDir, k, nprobe = math.max(1, m.nlist)))
     } finally graft.operators.StreamingOps.deleteRec(idx)
   }
 }

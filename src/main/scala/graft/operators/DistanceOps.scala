@@ -394,19 +394,43 @@ object DistanceOps {
     VectorOps.guardExact(spark, VectorOps.embCount(spark, sfDir))
     val emb = Corpus.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val (lo, c) = sqMinCParams(col("e"), levels)
     val deq = emb
-      .select(col("vec_id"), col("e"),
-        array_min(col("e")).as("lo"),
-        ((array_max(col("e")) - array_min(col("e"))) / levels.toDouble).as("c"))
+      .select(col("vec_id"), col("e"), lo.as("lo"), c.as("c"))
       .select(col("vec_id"),
-        // c = 0 (constant vector) quantizes exactly to lo; without the
-        // branch, (x−lo)/c = 0/0 = NaN poisons every distance
-        transform(col("e"), x =>
-          when(col("c") === 0d, col("lo"))
-            .otherwise(col("lo") + round((x - col("lo")) / col("c"), 0) * col("c"))).as("dq"))
+        sqMinCDeq(col("e"), col("lo"), col("c")).as("dq"))
     VectorOps.fusedExhaustiveKnn(deq, deq, k, "vec_id", "nbr_id")
       .orderBy("vec_id", "rnk")
   }
+
+  /** The SQMinC per-vector affine params as Catalyst expressions:
+    * lo = min component, c = (max − min)/levels — THE definition of
+    * the quantization grid, shared by the inline operator and every
+    * build/search site of the quantized persisted index so no copy
+    * can drift onto a different grid.
+    */
+  private[graft] def sqMinCParams(e: Column, levels: Int): (Column, Column) =
+    (array_min(e), (array_max(e) - array_min(e)) / levels.toDouble)
+
+  /** SQMinC quantize-then-dequantize as ONE Catalyst expression —
+    * `lo + round((x − lo)/c)·c` per component. c = 0 (constant vector)
+    * quantizes exactly to lo; without the branch, (x−lo)/c = 0/0 = NaN
+    * poisons every distance. Shared by [[sqMinCKnn]] and the quantized
+    * persisted index ([[graft.index.AnnIndex]]) so the stored-code
+    * decode and the inline dequantization can never drift.
+    */
+  private[graft] def sqMinCDeq(e: Column, lo: Column, c: Column): Column =
+    transform(e, x =>
+      when(c === 0d, lo).otherwise(lo + round((x - lo) / c, 0) * c))
+
+  /** The integer code half of [[sqMinCDeq]]: `round((x − lo)/c)` ∈
+    * [0, levels] as doubles (exact integers — decode multiplies them
+    * back by the SAME IEEE ops, so stored-code dequantization is
+    * bit-identical to the one-expression form above).
+    */
+  private[graft] def sqMinCCodes(e: Column, lo: Column, c: Column): Column =
+    transform(e, x =>
+      when(c === 0d, lit(0d)).otherwise(round((x - lo) / c, 0)))
 
   def sqMinCKnnOracleSql(levels: Int = 255, k: Int = 5): String =
     s"""WITH e AS (

@@ -51,7 +51,7 @@ object VectorOps {
     * for a week. Raise `graft.exact.maxN` (session conf) to override,
     * or use the ANN/LSH scale path ([[AnnOps]]).
     */
-  private[operators] def guardExact(spark: SparkSession, n: Long): Unit = {
+  private[graft] def guardExact(spark: SparkSession, n: Long): Unit = {
     val cap = spark.conf.getOption("graft.exact.maxN").map(_.toLong).getOrElse(1000000L)
     require(n <= cap,
       s"exact O(n^2) gold path invoked on n=$n > cap=$cap rows; " +

@@ -58,7 +58,8 @@ object Registry {
     // no oracle (approximate, like q21 whose recall gate it inherits);
     // AnnIndexSpec pins row-identity with q21's operator, so its
     // correctness evidence IS q21's plus the parity gate
-    "q44_ann_persisted" -> ((s, dir) => graft.index.AnnIndex.annPersistedOnCorpus(s, dir))
+    "q44_ann_persisted" -> ((s, dir) => graft.index.AnnIndex.annPersistedOnCorpus(s, dir)),
+    "q45_sq_ivf_persisted" -> ((s, dir) => graft.index.AnnIndex.sqIvfPersistedOnCorpus(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -111,6 +112,10 @@ object Registry {
     "q42_wand_eps_hints" -> graft.operators.ExactSearch.oracleSql(),
     // scheduler-managed ingest (log-growth compaction) must answer
     // exactly like one full build
-    "q43_wand_scheduled" -> graft.operators.ExactSearch.oracleSql()
+    "q43_wand_scheduled" -> graft.operators.ExactSearch.oracleSql(),
+    // a quantized (SQMinC u8) persisted IVF index probed exhaustively
+    // (nprobe = nlist) IS the full kNN over the quantization grid —
+    // q39's oracle pins quantize→pack→write→read→unpack→dequantize→rank
+    "q45_sq_ivf_persisted" -> graft.operators.DistanceOps.sqMinCKnnOracleSql()
   )
 }

@@ -110,6 +110,27 @@ object AnnIndexBench {
       println(s"[annbench] ivf codes files: $allFiles; batch plan corpus-free=" +
         (!plan.contains("embeddings.parquet")) +
         " partition-pruned=" + plan.contains("PartitionFilters"))
+
+      // 4. QUANTIZED vector-carrying codes (SQMinC u8): same pruned
+      // corpus-free batch shape, the payload 8 bits/component instead
+      // of 64 — the footprint dial for 10^12-row indexes
+      val sqIdx = java.nio.file.Files.createTempDirectory("graft-annbench-sq-").toString
+      try {
+        val (tSqB, mQ) = t(graft.index.AnnIndex.buildIvf(
+          spark, corpus, sqIdx, quantLevels = 255))
+        println(f"[annbench] buildIvf (u8-quantized): $tSqB%.1f s " +
+          f"(nlist=${mQ.nlist}, ${n / tSqB}%.0f vec/s)")
+        val (tSq, rSq) = minOf2(
+          graft.index.AnnIndex.searchIvfBatch(spark, sqIdx, corpus, ids, 5, 8).count())
+        println(f"[annbench] batch($batch) u8-quantized IVF index (nprobe=8): " +
+          f"$tSq%.2f s ($rSq rows, ${tNone / tSq}%.1fx vs no index)")
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        def mb(p: String): Double = fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$p/codes")).getLength / 1048576.0
+        println(f"[annbench] codes footprint: f64 ${mb(ivfIdx)}%.1f MB, " +
+          f"u8 ${mb(sqIdx)}%.1f MB (${mb(ivfIdx) / mb(sqIdx)}%.1fx smaller)")
+      } finally graft.operators.StreamingOps.deleteRec(sqIdx)
     } finally {
       graft.operators.StreamingOps.deleteRec(corpus, lshIdx, ivfIdx)
       spark.stop()

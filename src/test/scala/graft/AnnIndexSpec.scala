@@ -141,6 +141,63 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally graft.operators.StreamingOps.deleteRec(idx)
   }
 
+  test("quantized IVF at exhaustive probe ≡ inline SQMinC kNN (the q45 gate)") {
+    // nprobe = nlist probes every cell, so the index search is the full
+    // kNN over the u8 quantization grid — bit-identical to q39's inline
+    // operator, which pins the whole stored-code path: quantize → pack
+    // → write → read → unpack → dequantize → distance → rank
+    val spark = TestSpark.spark
+    val idx = tmp()
+    try {
+      val m = AnnIndex.buildIvf(spark, dir, idx, nlist = 16, quantLevels = 255)
+      val persisted = AnnIndex.searchIvfAll(spark, idx, dir, k, nprobe = m.nlist)
+      val inline = graft.operators.DistanceOps.sqMinCKnn(spark, dir, 255, k)
+      assert(rows(persisted) == rows(inline),
+        "quantized persisted IVF at exhaustive probe diverged from inline SQMinC kNN")
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
+  test("quantized IVF batch: equals the bulk rows for those ids; corpus-free plan") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val idx = tmp()
+    try {
+      AnnIndex.buildIvf(spark, dir, idx, nlist = 16, quantLevels = 255)
+      val ids = Seq(3L, 17L, 101L)
+      val batch = AnnIndex.searchIvfBatch(spark, idx, dir, ids, k, nprobe = 4)
+      val bulk = AnnIndex.searchIvfAll(spark, idx, dir, k, nprobe = 4)
+        .filter(col("vec_id").isin(ids: _*))
+      assert(rows(batch) == rows(bulk),
+        "quantized batch path diverged from the bulk rows for the same ids")
+      // the rescore payload comes off the index scan — the batch plan
+      // touches the corpus table zero times (queries were collected
+      // driver-side in a separate job)
+      val plan = batch.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings.parquet"),
+        "quantized batch plan should not re-scan the corpus for candidates")
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
+  test("quantized codes are materially smaller than f64 vector-carrying codes") {
+    val spark = TestSpark.spark
+    val idxQ = tmp()
+    val idxF = tmp()
+    try {
+      AnnIndex.buildIvf(spark, dir, idxQ, nlist = 16, quantLevels = 255)
+      AnnIndex.buildIvf(spark, dir, idxF, nlist = 16)
+      def bytes(root: String): Long = {
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$root/codes")).getLength
+      }
+      val (q, f) = (bytes(idxQ), bytes(idxF))
+      // 64 f64 components (512 B) become 64 u8 codes + 2 params (~80 B);
+      // parquet encoding narrows the raw 6× — demand at least 2×
+      assert(q * 2 <= f,
+        s"quantized codes ($q B) should be <= half the f64 codes ($f B)")
+    } finally graft.operators.StreamingOps.deleteRec(idxQ, idxF)
+  }
+
   test("searching an index with the wrong kind fails loudly, not empty") {
     val spark = TestSpark.spark
     val idx = tmp()
