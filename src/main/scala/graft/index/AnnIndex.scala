@@ -493,4 +493,39 @@ object AnnIndex {
         searchIvfAll(spark, idx, sfDir, k, nprobe = math.max(1, m.nlist)))
     } finally graft.operators.StreamingOps.deleteRec(idx)
   }
+
+  /** `optimize_index!` on the quantization dial: build one throwaway
+    * index per storage rung (u2/u4/u8/f64, cheapest first), measure
+    * recall against the exact gold at EXHAUSTIVE probe (pure
+    * quantization error — the nprobe tuner owns probing error), and
+    * report (levels, recall, storage cost, covering radius) rows for
+    * [[graft.operators.AnnOps.chooseQuant]]. Same shape as the nprobe
+    * and prune-floor ladders; gold is O(n²), so fixture-scale only
+    * (sample the query set at scale, like the reference's 64-query
+    * probe, /root/reference/src/opt.jl:148).
+    */
+  def evalQuantLadder(spark: SparkSession, sfDir: String, k: Int = 5,
+      nlist: Int = 16): Seq[AnnOps.QuantConfig] = {
+    VectorOps.guardExact(spark, VectorOps.embCount(spark, sfDir))
+    val gold = VectorOps.allKnn(spark, sfDir, k).cache()
+    val out = Seq(3, 15, 255, 0).map { levels =>
+      val idx = java.nio.file.Files.createTempDirectory("graft-quantladder-").toString
+      try {
+        buildIvf(spark, sfDir, idx, nlist = nlist, quantLevels = levels)
+        val got = searchIvfAll(spark, idx, sfDir, k, nprobe = nlist).cache()
+        val r = AnnOps.macrorecall(gold, got, k)
+        val radius = got.groupBy("vec_id").agg(max("dist").as("cov"))
+          .agg(avg("cov")).head().getDouble(0)
+        got.unpersist()
+        val bits = if (levels == 0) 64.0 else bitsFor(levels).toDouble
+        AnnOps.QuantConfig(levels, r, bits / 64.0, radius)
+      } finally graft.operators.StreamingOps.deleteRec(idx)
+    }
+    gold.unpersist()
+    out
+  }
+
+  def optimizeQuant(spark: SparkSession, sfDir: String, goal: AnnOps.OptGoal,
+      k: Int = 5, nlist: Int = 16): AnnOps.QuantConfig =
+    AnnOps.chooseQuant(evalQuantLadder(spark, sfDir, k, nlist), goal)
 }

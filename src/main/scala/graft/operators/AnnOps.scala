@@ -310,10 +310,25 @@ object AnnOps {
   def chooseConfig(configs: Seq[IvfConfig], goal: OptGoal): IvfConfig =
     chooseBy(configs, goal)(c => (c.recall, c.cost, c.radiusMean))
 
+  /** One evaluated quantization rung for the persisted vector-carrying
+    * index ([[graft.index.AnnIndex]] `quantLevels`): `levels` the
+    * SQMinC step count (0 = f64 payload), cost = stored bits per
+    * component / 64 — the storage fraction this dial actually trades —
+    * recall measured at EXHAUSTIVE probe so it isolates pure
+    * quantization error from the probing error the nprobe tuner owns
+    * (orthogonal dials, tuned independently like the reference's
+    * separable search-space axes, /root/reference/src/opt.jl:38-57).
+    */
+  final case class QuantConfig(levels: Int, recall: Double, cost: Double,
+      radiusMean: Double)
+
+  def chooseQuant(configs: Seq[QuantConfig], goal: OptGoal): QuantConfig =
+    chooseBy(configs, goal)(c => (c.recall, c.cost, c.radiusMean))
+
   /** The selection rule ONCE, for every tuner's config type: minimize
     * (goal loss, cost) over the measured (recall, cost, radiusMean)
-    * ladder — the IVF and pruning-floor tuners must never drift apart
-    * on tie-breaks.
+    * ladder — the IVF, pruning-floor, and quantization tuners must
+    * never drift apart on tie-breaks.
     */
   private def chooseBy[C](configs: Seq[C], goal: OptGoal)(
       m: C => (Double, Double, Double)): C = {

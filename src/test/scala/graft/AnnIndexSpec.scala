@@ -198,6 +198,24 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally graft.operators.StreamingOps.deleteRec(idxQ, idxF)
   }
 
+  test("optimize_index! on the quantization dial: cheapest rung meeting MinRecall") {
+    val spark = TestSpark.spark
+    val ladder = AnnIndex.evalQuantLadder(spark, dir, k, nlist = 16)
+    assert(ladder.map(_.levels) == Seq(3, 15, 255, 0), "ladder order (cheapest first)")
+    // the f64 rung at exhaustive probe IS the exact kNN — recall 1.0,
+    // so MinRecall always has a passing config
+    assert(math.abs(ladder.last.recall - 1.0) < 1e-12,
+      s"f64 exhaustive rung should be exact, got ${ladder.last.recall}")
+    // storage cost is the bits fraction: 2/64, 4/64, 8/64, 64/64
+    assert(ladder.map(_.cost) == Seq(2.0 / 64, 4.0 / 64, 8.0 / 64, 1.0))
+    val chosen = AnnOps.chooseQuant(ladder, AnnOps.MinRecallGoal(0.9))
+    info(f"quant ladder recalls=${ladder.map(c => f"${c.levels}:${c.recall}%.3f").mkString(", ")} -> levels=${chosen.levels}")
+    assert(chosen.recall >= 0.9)
+    // minimality: every strictly cheaper rung fails the goal
+    ladder.filter(_.cost < chosen.cost).foreach(c =>
+      assert(c.recall < 0.9, s"cheaper rung $c passes the goal — pick not minimal"))
+  }
+
   test("searching an index with the wrong kind fails loudly, not empty") {
     val spark = TestSpark.spark
     val idx = tmp()
