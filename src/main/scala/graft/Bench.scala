@@ -186,7 +186,7 @@ object Bench {
       "q15_simhash", "q16_langid", "q17_quality", "q18_token_count",
       "q19_fingerprint", "q21_ann_lsh", "q23_multimodal_meta", "q24_events_window",
       "q32_sq_u4_knn", "q34_random_proj", "q35_cloud_distances", "q36_events_filesink",
-      "q44_ann_persisted", "q45_sq_ivf_persisted")
+      "q44_ann_persisted", "q45_sq_ivf_persisted", "q46_searchbatch_external")
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     def opOnce(name: String): Unit =
       SparkEntry.queries.get(name).foreach { fn =>

@@ -232,18 +232,45 @@ object AnnIndex {
     val m = readMeta(spark, indexDir)
     requireKind(m, "lsh", "searchLshBatch")
     if (m.dim == 0 || queryIds.isEmpty) return emptyResult(spark)
-    val planes = AnnOps.planeMatrix(m.tables, m.nbits, m.dim)
     val qvecs = AnnOps.embDs(spark, sfDir)
       .filter(col("vec_id").isin(queryIds: _*))
       .as[(Long, Seq[Double])].collect()
-    val qBuckets = qvecs.flatMap { case (id, e) =>
-      val ea = e.toArray
+      .map { case (id, e) => (id, e.toArray) }
+    lshVecs(spark, indexDir, sfDir, m, qvecs, k)
+  }
+
+  /** Bounded-batch kNN with EXTERNAL query vectors — the reference's
+    * `searchbatch(index, Q)` call shape against the persisted index
+    * (/root/reference/src/SimilaritySearch.jl:144-190): callers hand
+    * in (q_id, vector) pairs that need not exist in any table. Same
+    * probe derivation and pruned-scan tail as [[searchLshBatch]] —
+    * which IS this call with corpus-collected vectors. Requires a
+    * vector-carrying index (`storeVecs = true`): a payload-free index
+    * rescoreS by corpus id, which cannot see external queries — that
+    * combination fails loudly instead of returning silent empties.
+    */
+  def searchLshVecs(spark: SparkSession, indexDir: String, sfDir: String,
+      queries: Seq[(Long, Array[Double])], k: Int = 5): DataFrame = {
+    val m = readMeta(spark, indexDir)
+    requireKind(m, "lsh", "searchLshVecs")
+    if (m.dim == 0 || queries.isEmpty) return emptyResult(spark)
+    require(m.vecs,
+      "searchLshVecs needs a vector-carrying index (buildLsh storeVecs = true): " +
+        "a payload-free index gathers rescore vectors by corpus id, which " +
+        "external query vectors do not have")
+    lshVecs(spark, indexDir, sfDir, m, queries.toArray, k)
+  }
+
+  private def lshVecs(spark: SparkSession, indexDir: String, sfDir: String,
+      m: AnnMeta, qvecs: Array[(Long, Array[Double])], k: Int): DataFrame = {
+    val planes = AnnOps.planeMatrix(m.tables, m.nbits, m.dim)
+    val qBuckets = qvecs.flatMap { case (id, ea) =>
       (0 until m.tables).map(t =>
         (id, if (ea.length == m.dim) AnnOps.lshCodeFast(ea, planes, t)
-             else AnnOps.lshCode(e, t, m.nbits)))
+             else AnnOps.lshCode(ea.toSeq, t, m.nbits)))
     }
-    batchFromProbe(spark, AnnPaths(indexDir), m, sfDir,
-      qBuckets.toIndexedSeq, qvecs, k)
+    batchFromProbe(spark, AnnPaths(indexDir), m, sfDir, qBuckets.toIndexedSeq,
+      qvecs.map { case (id, e) => (id, e.toSeq: Seq[Double]) }, k)
   }
 
   /** Shared batch tail: pruned codes scan × broadcast probe set. With
@@ -373,35 +400,54 @@ object AnnIndex {
     val m = readMeta(spark, indexDir)
     requireKind(m, "ivf", "searchIvfBatch")
     if (m.dim == 0 || queryIds.isEmpty) return emptyResult(spark)
+    val qvecs = AnnOps.embDs(spark, sfDir)
+      .filter(col("vec_id").isin(queryIds: _*))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, e) => (id, e.toArray) }
+    ivfVecs(spark, indexDir, sfDir, m, qvecs, k, nprobe)
+  }
+
+  /** Bounded-batch kNN with EXTERNAL query vectors against the stored
+    * IVF index — the `searchbatch(index, Q)` shape; see
+    * [[searchLshVecs]]. IVF codes always carry their vectors, so any
+    * IVF index serves external queries.
+    */
+  def searchIvfVecs(spark: SparkSession, indexDir: String, sfDir: String,
+      queries: Seq[(Long, Array[Double])], k: Int = 5, nprobe: Int = 0): DataFrame = {
+    val m = readMeta(spark, indexDir)
+    requireKind(m, "ivf", "searchIvfVecs")
+    if (m.dim == 0 || queries.isEmpty) return emptyResult(spark)
+    require(queries.forall(_._2.length == m.dim),
+      s"query vectors must match the index dim ${m.dim}")
+    ivfVecs(spark, indexDir, sfDir, m, queries.toArray, k, nprobe)
+  }
+
+  private def ivfVecs(spark: SparkSession, indexDir: String, sfDir: String,
+      m: AnnMeta, qvecs: Array[(Long, Array[Double])], k: Int,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
     val np = if (nprobe > 0) nprobe else m.nprobe0
     val cents = spark.read.parquet(AnnPaths(indexDir).centers)
       .as[(Long, Seq[Double])].collect()
       .map { case (c, e) => (c, e.toArray) }
-    val embQ = AnnOps.embDs(spark, sfDir)
-      .filter(col("vec_id").isin(queryIds: _*))
     // cell ranking always runs on the RAW vector (the space the build
-    // assigned in); for a quantized index the RESCORE vector is the
-    // dequantized one — computed by the same Catalyst expressions as
-    // the inline q39 operator, in the same collect job
-    val qboth =
-      if (m.qlevels > 0) {
-        val (qlo, qc) = graft.operators.DistanceOps
-          .sqMinCParams(col("emb"), m.qlevels)
-        embQ.select(col("vec_id"), col("emb"), qlo.as("qlo"), qc.as("qc"))
-          .select(col("vec_id"), col("emb"), graft.operators.DistanceOps
-            .sqMinCDeq(col("emb"), col("qlo"), col("qc")).as("dq"))
-          .as[(Long, Seq[Double], Seq[Double])].collect()
-      } else embQ.select(col("vec_id"), col("emb"), col("emb"))
-        .as[(Long, Seq[Double], Seq[Double])].collect()
-    val qCells = qboth.flatMap { case (q, e, _) =>
-      val ea = e.toArray
+    // assigned in), same rounded distance and tie rule as the
+    // distributed ranking
+    val qCells = qvecs.flatMap { case (q, ea) =>
       cents.map { case (c, ce) => (q, c, VectorOps.jvmDist(ea, ce)) }
         .sortBy { case (_, c, d) => (d, c) }
         .take(np)
         .map { case (q2, c, _) => (q2, c) }
     }
+    // rescore space: raw for f64 payloads; dequantized for quantized
+    // ones, through the JVM twin of the q39 Catalyst expressions — the
+    // quantized-batch ≡ bulk parity spec pins jvm ≡ Catalyst
+    val rescoreQ: Array[(Long, Seq[Double])] =
+      if (m.qlevels > 0) qvecs.map { case (q, e) =>
+        (q, graft.operators.DistanceOps.jvmSqMinCDeq(e, m.qlevels).toSeq) }
+      else qvecs.map { case (q, e) => (q, e.toSeq: Seq[Double]) }
     batchFromProbe(spark, AnnPaths(indexDir), m, sfDir,
-      qCells.toIndexedSeq, qboth.map { case (q, _, d) => (q, d) }, k)
+      qCells.toIndexedSeq, rescoreQ, k)
   }
 
   /** Bulk self-kNN through the stored IVF index: rank the stored

@@ -432,6 +432,29 @@ object DistanceOps {
     transform(e, x =>
       when(c === 0d, lit(0d)).otherwise(round((x - lo) / c, 0)))
 
+  /** JVM twin of [[sqMinCDeq]] for driver-side query vectors (external
+    * batches against a quantized index), bit-identical by construction:
+    * plain double min/max/divide in the same order, and the same
+    * `BigDecimal.valueOf` HALF_UP rounding Catalyst's `round` codegen
+    * performs on doubles — the [[VectorOps.jvmDist]] precedent. The
+    * quantized-batch parity specs pin jvm ≡ Catalyst on real data.
+    */
+  private[graft] def jvmSqMinCDeq(e: Array[Double], levels: Int): Array[Double] = {
+    var lo = e(0); var hi = e(0)
+    var i = 1
+    while (i < e.length) {
+      if (e(i) < lo) lo = e(i)
+      if (e(i) > hi) hi = e(i)
+      i += 1
+    }
+    val c = (hi - lo) / levels.toDouble
+    if (c == 0.0) Array.fill(e.length)(lo)
+    else e.map { x =>
+      lo + java.math.BigDecimal.valueOf((x - lo) / c)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() * c
+    }
+  }
+
   def sqMinCKnnOracleSql(levels: Int = 255, k: Int = 5): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

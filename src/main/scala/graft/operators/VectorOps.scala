@@ -219,6 +219,59 @@ object VectorOps {
        |SELECT vec_id, rnk, nbr_id, dist FROM r WHERE rnk <= $k
        |ORDER BY vec_id, rnk""".stripMargin
 
+  /** Q3 `searchbatch` with an EXTERNAL query set — the reference's
+    * flagship call shape (`searchbatch(index, ctx, Q, k)`,
+    * /root/reference/src/SimilaritySearch.jl:144-190; its tests drive
+    * m query vectors DISTINCT from the database,
+    * /root/reference/test/testsearchgraph.jl:10-42). Callers hand in
+    * (q_id, vector) pairs; the corpus is the database; the kernel is
+    * the same fused parallel-exhaustive scan as [[allKnn]] — which is
+    * exactly this call with the corpus as the query set.
+    */
+  def searchBatch(spark: SparkSession, sfDir: String,
+      queries: Seq[(Long, Array[Double])], k: Int = 5): DataFrame = {
+    import spark.implicits._
+    guardExact(spark, embCount(spark, sfDir))
+    if (queries.isEmpty)
+      return Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rnk", "nbr_id", "dist")
+    val q = queries.toDF("vec_id", "emb")
+    val db = Corpus.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    fusedExhaustiveKnn(q, db, k, "vec_id", "nbr_id").orderBy("vec_id", "rnk")
+  }
+
+  /** Registry form (q46): the external-query surface driven with
+    * pinned corpus vectors — collected FIRST, then passed as explicit
+    * (id, vector) literals, so the query plan takes the same id-free
+    * path a user's own vectors would. Equals the exhaustive kNN of
+    * those rows, hence the filtered allknn oracle.
+    */
+  def searchBatchOnCorpus(spark: SparkSession, sfDir: String, k: Int = 5,
+      ids: Seq[Long] = Seq(3L, 17L, 101L)): DataFrame = {
+    import spark.implicits._
+    val qs = Corpus.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toSeq.sortBy(_._1)
+    searchBatch(spark, sfDir, qs, k)
+  }
+
+  def searchBatchOracleSql(ids: Seq[Long] = Seq(3L, 17L, 101L), k: Int = 5): String =
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+       |         round(1.0 - list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |                                      CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS dist
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id IN (${ids.mkString(", ")})
+       |), r AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, nbr_id ASC) AS INTEGER) AS rnk,
+       |         CAST(nbr_id AS BIGINT) AS nbr_id, CAST(dist AS DOUBLE) AS dist
+       |  FROM p
+       |)
+       |SELECT vec_id, rnk, nbr_id, dist FROM r WHERE rnk <= $k
+       |ORDER BY vec_id, rnk""".stripMargin
+
   /** Q9 `closestpair` (/root/reference/src/closestpair.jl:17-78): the
     * globally closest distinct pair; partial minima per partition +
     * final reduce ≡ the reference's per-thread best + reduction.

@@ -59,7 +59,8 @@ object Registry {
     // AnnIndexSpec pins row-identity with q21's operator, so its
     // correctness evidence IS q21's plus the parity gate
     "q44_ann_persisted" -> ((s, dir) => graft.index.AnnIndex.annPersistedOnCorpus(s, dir)),
-    "q45_sq_ivf_persisted" -> ((s, dir) => graft.index.AnnIndex.sqIvfPersistedOnCorpus(s, dir))
+    "q45_sq_ivf_persisted" -> ((s, dir) => graft.index.AnnIndex.sqIvfPersistedOnCorpus(s, dir)),
+    "q46_searchbatch_external" -> ((s, dir) => graft.operators.VectorOps.searchBatchOnCorpus(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -116,6 +117,9 @@ object Registry {
     // a quantized (SQMinC u8) persisted IVF index probed exhaustively
     // (nprobe = nlist) IS the full kNN over the quantization grid —
     // q39's oracle pins quantize→pack→write→read→unpack→dequantize→rank
-    "q45_sq_ivf_persisted" -> graft.operators.DistanceOps.sqMinCKnnOracleSql()
+    "q45_sq_ivf_persisted" -> graft.operators.DistanceOps.sqMinCKnnOracleSql(),
+    // the external-query searchbatch surface, driven with pinned corpus
+    // vectors passed as explicit literals ≡ the filtered exhaustive kNN
+    "q46_searchbatch_external" -> graft.operators.VectorOps.searchBatchOracleSql()
   )
 }

@@ -216,6 +216,47 @@ class AnnIndexSpec extends AnyFunSuite {
       assert(c.recall < 0.9, s"cheaper rung $c passes the goal — pick not minimal"))
   }
 
+  test("external-vector search ≡ id-based batch on every index flavor") {
+    // the searchbatch(index, Q) surface: hand the SAME vectors in as
+    // explicit (id, vector) pairs and the rows must match the id-based
+    // batch exactly — for the quantized index this also pins the JVM
+    // dequantizer against the Catalyst expression it mirrors
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = Seq(3L, 17L, 101L)
+    val qs = graft.corpus.Corpus.embeddings(spark, dir)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toSeq
+    val idxF = tmp(); val idxQ = tmp(); val idxL = tmp()
+    try {
+      AnnIndex.buildIvf(spark, dir, idxF, nlist = 16)
+      assert(rows(AnnIndex.searchIvfVecs(spark, idxF, dir, qs, k, nprobe = 4)) ==
+        rows(AnnIndex.searchIvfBatch(spark, idxF, dir, ids, k, nprobe = 4)),
+        "f64 IVF: external-vector rows diverged from the id-based batch")
+      AnnIndex.buildIvf(spark, dir, idxQ, nlist = 16, quantLevels = 255)
+      assert(rows(AnnIndex.searchIvfVecs(spark, idxQ, dir, qs, k, nprobe = 4)) ==
+        rows(AnnIndex.searchIvfBatch(spark, idxQ, dir, ids, k, nprobe = 4)),
+        "quantized IVF: external-vector rows diverged (JVM vs Catalyst dequant?)")
+      AnnIndex.buildLsh(spark, dir, idxL, storeVecs = true)
+      assert(rows(AnnIndex.searchLshVecs(spark, idxL, dir, qs, k)) ==
+        rows(AnnIndex.searchLshBatch(spark, idxL, dir, ids, k)),
+        "LSH storeVecs: external-vector rows diverged from the id-based batch")
+    } finally graft.operators.StreamingOps.deleteRec(idxF, idxQ, idxL)
+  }
+
+  test("external-vector search on a payload-free LSH index fails loudly") {
+    val spark = TestSpark.spark
+    val idx = tmp()
+    try {
+      AnnIndex.buildLsh(spark, dir, idx) // storeVecs = false
+      val e = intercept[IllegalArgumentException](
+        AnnIndex.searchLshVecs(spark, idx, dir, Seq((999999L, Array.fill(8)(0.1))), k))
+      assert(e.getMessage.contains("storeVecs"))
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
   test("searching an index with the wrong kind fails loudly, not empty") {
     val spark = TestSpark.spark
     val idx = tmp()

@@ -23,6 +23,32 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(rank1.filter(col("vec_id") === col("nbr_id") && col("dist") === 0.0).count() == n)
   }
 
+  test("searchbatch (external query vectors) ≡ allknn rows for the same vectors") {
+    // the reference's searchbatch(index, Q) shape: vectors handed in as
+    // literals take the same kernel as allknn, so when they happen to
+    // BE corpus vectors the rows must match the self-kNN exactly — and
+    // a novel out-of-corpus vector still gets k ranked neighbors
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ids = Seq(3L, 17L, 101L)
+    val qs = graft.corpus.Corpus.embeddings(spark, dir)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val ext = VectorOps.searchBatch(spark, dir, qs)
+    val gold = VectorOps.allKnn(spark, dir).filter(col("vec_id").isin(ids: _*))
+    assert(rows(ext) == rows(gold), "external searchbatch diverged from allknn")
+    // novel vector: average of two corpus vectors, renormalized
+    val novel = qs.head._2.zip(qs(1)._2).map { case (a, b) => (a + b) / 2 }
+    val nrm = math.sqrt(novel.map(x => x * x).sum)
+    val res = VectorOps.searchBatch(spark, dir, Seq((-1L, novel.map(_ / nrm))))
+    assert(res.count() == 5)
+    val ds = res.orderBy("rnk").collect().map(_.getDouble(3))
+    assert(ds.sliding(2).forall(p => p(0) <= p(1)), "distances not ranked")
+  }
+
   test("neardup (order-free): dist ≤ ε; cover is the EARLIEST in-range element; minimal elements self-covered") {
     val spark = TestSpark.spark
     val eps = 0.65
