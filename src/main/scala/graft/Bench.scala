@@ -158,16 +158,23 @@ object Bench {
     buf.min
   }
 
-  /** The dispersion rule, in ONE place for the ops loop and both q03
-    * halves: if `name`'s logged reps spread past [[NoisySpread]] with
-    * an unreplicated min, run `f` once more and return the new min.
+  /** The dispersion predicate, in ONE place for the rerun decision AND
+    * the artifact's noisy flag (they must never desynchronize: an op
+    * that earns a rerun but not the flag — or vice versa — makes the
+    * artifact lie about its own confidence): spread past [[NoisySpread]]
+    * AND an unreplicated min (second-fastest not within [[MinConfirm]]).
     */
-  private def rerunIfNoisy(name: String)(f: => Unit): Option[Double] = {
-    val rs = repLog(name).sorted
-    if (rs.last / rs.head > NoisySpread && rs(1) / rs.head > MinConfirm)
-      Some(logged(name, 1)(f))
-    else None
+  private def isNoisy(reps: Seq[Double]): Boolean = {
+    val s = reps.sorted
+    s.last / s.head > NoisySpread && s(1) / s.head > MinConfirm
   }
+
+  /** The rerun half of the dispersion rule, for the ops loop and both
+    * q03 halves: if `name`'s logged reps read noisy, run `f` once more
+    * and return the new min.
+    */
+  private def rerunIfNoisy(name: String)(f: => Unit): Option[Double] =
+    if (isNoisy(repLog(name).toSeq)) Some(logged(name, 1)(f)) else None
 
   private def minOf(reps: Int)(f: => Unit): Double =
     (1 to reps).map(_ => time(f)._1).min
@@ -329,10 +336,7 @@ object Bench {
     // Spread alone can't define the flag: max/min over the cumulative
     // log is monotone, so a recovering rerun could never clear it.
     val noisyOps = repLog.collect {
-      case (n, rs) if {
-        val s = rs.sorted
-        s.last / s.head > NoisySpread && s(1) / s.head > MinConfirm
-      } => n }.toSet
+      case (n, rs) if isNoisy(rs.toSeq) => n }.toSet
     val opsDetail = repLog.map { case (nm, rs) =>
       "\"" + nm + "\":{\"reps\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]" +
         (if (noisyOps(nm)) ",\"noisy\":true" else "") + "}"

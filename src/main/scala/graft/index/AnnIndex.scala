@@ -82,10 +82,8 @@ object AnnIndex {
     withQ.as[AnnMeta].head()
   }
 
-  private def emptyResult(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rnk", "nbr_id", "dist")
-  }
+  private def emptyResult(spark: SparkSession): DataFrame =
+    VectorOps.emptyKnnFrame(spark)
 
   /** The corpus coded into (vec_id, bucket) rows — the SAME
     * [[graft.operators.AnnOps.codeLsh]] pass [[graft.operators.AnnOps.annLsh]]
@@ -258,7 +256,21 @@ object AnnIndex {
       "searchLshVecs needs a vector-carrying index (buildLsh storeVecs = true): " +
         "a payload-free index gathers rescore vectors by corpus id, which " +
         "external query vectors do not have")
+    requireQueryBatch(queries, m)
     lshVecs(spark, indexDir, sfDir, m, queries.toArray, k)
+  }
+
+  /** External batches are caller-shaped — fail loudly on the two silent
+    * corruptions: a wrong-width vector would hash into buckets from a
+    * different coder (LSH) or feed a mismatched dot product (rescore),
+    * and duplicate q_ids would collapse in the probe's id→vector map,
+    * rescoring one id's buckets against another id's vector.
+    */
+  private def requireQueryBatch(queries: Seq[(Long, Array[Double])], m: AnnMeta): Unit = {
+    require(queries.forall(_._2.length == m.dim),
+      s"query vectors must match the index dim ${m.dim}")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids in the external batch")
   }
 
   private def lshVecs(spark: SparkSession, indexDir: String, sfDir: String,
@@ -305,11 +317,16 @@ object AnnIndex {
       val nbrSide =
         if (m.qlevels > 0) decodedScan(scan, m)
         else scan.select(col("bucket"), col("vec_id"), col("emb"))
-      val cands = nbrSide.select(col("bucket"), col("vec_id").as("nbr_id"), col("emb"))
+      val cands0 = nbrSide.select(col("bucket"), col("vec_id").as("nbr_id"), col("emb"))
         .join(broadcast(probe), "bucket")
         .select(col("q_id"), col("nbr_id"),
           VectorOps.distCol(col("q_emb"), col("emb")).as("dist"))
-        .distinct()
+      // LSH meets the same (q, nbr) pair once per matching hash table —
+      // dedup before the heap; IVF pairs are unique by construction
+      // (one cell per vector, distinct probe cells per query), where
+      // the distinct would shuffle every dist-bearing candidate row
+      // for zero reduction
+      val cands = if (m.kind == "lsh") cands0.distinct() else cands0
       VectorOps.topKByDist(cands, k, "q_id", "nbr_id")
         .select(col("q_id").as("vec_id"), col("rnk"), col("nbr_id"), col("dist"))
         .orderBy("vec_id", "rnk")
@@ -417,8 +434,7 @@ object AnnIndex {
     val m = readMeta(spark, indexDir)
     requireKind(m, "ivf", "searchIvfVecs")
     if (m.dim == 0 || queries.isEmpty) return emptyResult(spark)
-    require(queries.forall(_._2.length == m.dim),
-      s"query vectors must match the index dim ${m.dim}")
+    requireQueryBatch(queries, m)
     ivfVecs(spark, indexDir, sfDir, m, queries.toArray, k, nprobe)
   }
 

@@ -543,8 +543,26 @@ object IndexBuilder {
     val p = new org.apache.hadoop.fs.Path(paths.manifest)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty
-    else try spark.read.parquet(paths.manifest).as[ManifestRow].collect().toSeq
-    catch {
+    else try {
+      // manifests persisted before the append-only commit protocol lack
+      // commit_seq/full_commit; under the old Overwrite protocol the
+      // manifest WAS the current view, so uniform (seq 0, full commit)
+      // reproduces it exactly under readManifest's supersede rules (and
+      // the next commit correctly draws seq 1). After that next commit
+      // the dir holds MIXED schemas and the legacy files read as NULL
+      // in these two columns — coalesce covers both shapes. Any OTHER
+      // schema mismatch still propagates as corruption below.
+      // mergeSchema: on a mixed dir the default single-footer schema
+      // pick could LOSE the new columns (zeroing a real commit_seq);
+      // the manifest is numShards-rows tiny, the merge costs nothing.
+      val raw0 = spark.read.option("mergeSchema", "true").parquet(paths.manifest)
+      val raw = Seq("commit_seq" -> lit(0L), "full_commit" -> lit(true))
+        .foldLeft(raw0) { case (df, (c, d)) =>
+          if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), d))
+          else df.withColumn(c, d)
+        }
+      raw.as[ManifestRow].collect().toSeq
+    } catch {
       case e: org.apache.spark.sql.AnalysisException
           if Option(e.getCondition).exists(c =>
             c.startsWith("PATH_NOT_FOUND") || c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>

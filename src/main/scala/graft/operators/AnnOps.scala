@@ -119,8 +119,7 @@ object AnnOps {
     // empty corpus → empty result (first() would throw); also skips the
     // plane tabulation and the extra job entirely
     val dimOpt = embds.select(size(col("emb"))).as[Int].head(1).headOption
-    if (dimOpt.isEmpty)
-      return Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rnk", "nbr_id", "dist")
+    if (dimOpt.isEmpty) return VectorOps.emptyKnnFrame(spark)
     val dim = dimOpt.get
     val coded = codeLsh(embds, tables, bits, dim)
     // per-bucket cap through the shared bounded-heap aggregator (dist =
@@ -198,8 +197,11 @@ object AnnOps {
     */
   def annIvf(spark: SparkSession, sfDir: String, k: Int = 5, nlist: Int = 0,
       nprobe: Int = 0, sampleFactor: Int = 16): DataFrame = {
-    val nl = if (nlist > 0) nlist
-      else deriveNlist(VectorOps.embCount(spark, sfDir))
+    // empty corpus → empty result, same contract as annLsh (fftSampled
+    // would otherwise throw on an empty training sample)
+    val n = VectorOps.embCount(spark, sfDir)
+    if (n == 0L) return VectorOps.emptyKnnFrame(spark)
+    val nl = if (nlist > 0) nlist else deriveNlist(n)
     val np = if (nprobe > 0) nprobe else math.max(1, nl / 2)
     // center training on a deterministic bounded sample, one collect +
     // a driver-local loop — NOT nlist sequential full-corpus jobs (the

@@ -93,6 +93,16 @@ object VectorOps {
     * final negation restores +0.0, so oracle hash-identity is
     * preserved.
     */
+  /** The canonical EMPTY kNN result — one definition of the
+    * (vec_id, rnk, nbr_id, dist) shape for every operator's empty path
+    * (empty corpus, empty batch), so the empty-path schema can never
+    * drift from the populated one this file's top-k kernels produce.
+    */
+  private[graft] def emptyKnnFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rnk", "nbr_id", "dist")
+  }
+
   private[graft] def topKByDist(pairs: DataFrame, k: Int,
       groupCol: String, idCol: String): DataFrame = {
     import pairs.sparkSession.implicits._
@@ -232,8 +242,7 @@ object VectorOps {
       queries: Seq[(Long, Array[Double])], k: Int = 5): DataFrame = {
     import spark.implicits._
     guardExact(spark, embCount(spark, sfDir))
-    if (queries.isEmpty)
-      return Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rnk", "nbr_id", "dist")
+    if (queries.isEmpty) return emptyKnnFrame(spark)
     val q = queries.toDF("vec_id", "emb")
     val db = Corpus.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))

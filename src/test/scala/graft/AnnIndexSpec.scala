@@ -246,6 +246,26 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally graft.operators.StreamingOps.deleteRec(idxF, idxQ, idxL)
   }
 
+  test("external batch rejects wrong-width vectors and duplicate ids") {
+    // both corruptions would otherwise be SILENT: a wrong-width vector
+    // feeds a mismatched dot product, and duplicate ids collapse in the
+    // probe's id→vector map (one id's buckets rescored against the
+    // other id's vector)
+    val spark = TestSpark.spark
+    val idx = tmp()
+    try {
+      val m = AnnIndex.buildIvf(spark, dir, idx, nlist = 16)
+      val good = Array.fill(m.dim)(0.1)
+      val narrow = Array.fill(m.dim - 1)(0.1)
+      val e1 = intercept[IllegalArgumentException](
+        AnnIndex.searchIvfVecs(spark, idx, dir, Seq((-1L, narrow)), k))
+      assert(e1.getMessage.contains("dim"))
+      val e2 = intercept[IllegalArgumentException](
+        AnnIndex.searchIvfVecs(spark, idx, dir, Seq((-1L, good), (-1L, good)), k))
+      assert(e2.getMessage.contains("duplicate"))
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
   test("external-vector search on a payload-free LSH index fails loudly") {
     val spark = TestSpark.spark
     val idx = tmp()

@@ -169,9 +169,12 @@ class IndexSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
     // a manifest dir that EXISTS but doesn't decode to ManifestRow
-    // (e.g. a pre-commit_seq format) must throw, not read as "nothing
-    // committed" — the silent-empty reading made resume() full-rebuild
-    // a committed index and appended mixed-schema rows beside the old
+    // (here: missing lineage columns — genuinely foreign/corrupt) must
+    // throw, not read as "nothing committed" — the silent-empty reading
+    // made resume() full-rebuild a committed index and appended
+    // mixed-schema rows beside the old. (The ONE tolerated schema gap
+    // is the commit_seq/full_commit pair — the legacy-manifest test
+    // below.)
     val dir = tmp()
     Seq((1L, "snap-1-shard-0", 0)).toDF("snapshot_id", "segment_id", "shard")
       .write.parquet(s"$dir/manifest")
@@ -180,6 +183,34 @@ class IndexSpec extends AnyFunSuite {
     }
     // a MISSING manifest is still the clean "nothing committed" state
     assert(IndexBuilder.readManifest(spark, tmp()).isEmpty)
+  }
+
+  test("legacy manifest (no commit_seq/full_commit) stays readable; next commit appends at seq 1") {
+    // manifests written before the append-only commit protocol carried
+    // every lineage column except commit_seq/full_commit, and under the
+    // old Overwrite protocol the file WAS the current view — so uniform
+    // (seq 0, full commit) defaults reproduce it exactly
+    val spark = TestSpark.spark
+    val dir = tmp()
+    IndexBuilder.build(spark, TestSpark.Sf0001, dir, numShards = 2)
+    val legacyPath = s"$dir/manifest_legacy"
+    spark.read.parquet(s"$dir/manifest")
+      .drop("commit_seq", "full_commit").write.parquet(legacyPath)
+    graft.operators.StreamingOps.deleteRec(s"$dir/manifest")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(legacyPath),
+      new org.apache.hadoop.fs.Path(s"$dir/manifest")))
+    val view = IndexBuilder.readManifest(spark, dir)
+    assert(view.map(_.shard).sorted == Seq(0, 1))
+    assert(view.forall(r => r.commit_seq == 0L && r.full_commit))
+    // resume sees the legacy index as complete — no spurious rebuild
+    assert(IndexBuilder.resume(spark, TestSpark.Sf0001, dir, 2, 1L).isEmpty)
+    // and a fresh in-place rebuild draws seq 1 and supersedes cleanly
+    IndexBuilder.build(spark, TestSpark.Sf0001, dir, numShards = 2)
+    val after = IndexBuilder.readManifest(spark, dir)
+    assert(after.map(_.shard).sorted == Seq(0, 1))
+    assert(after.forall(_.commit_seq == 1L), s"expected seq 1 rows, got $after")
   }
 
   test("log-growth callbacks scheduler: fires exactly at ceil-log boundaries; compaction ≡ full build") {
