@@ -176,6 +176,37 @@ object Bench {
   private def rerunIfNoisy(name: String)(f: => Unit): Option[Double] =
     if (isNoisy(repLog(name).toSeq)) Some(logged(name, 1)(f)) else None
 
+  /** Last round's per-op min times, for the CROSS-ROUND contention
+    * check: same-run dispersion (NoisySpread/MinConfirm) structurally
+    * cannot catch a contended window spanning ALL of an op's reps —
+    * both reps read slow and consistent (r4's q36: [26.8, 14.95] vs a
+    * 2.56 s isolated floor). The previous round's recorded min CAN:
+    * an op whose current min exceeds [[XRoundFactor]]× it earns one
+    * extra rep after the loop, and a `"xround":true` flag in
+    * ops_detail if still above. Refreshed each round from the prior
+    * artifact (scripts/bench_prev.json; override via
+    * SPARK_GRAFT_BENCH_PREV; absent file ⇒ check disabled). A REAL
+    * regression also trips this — the flag marks "slower than last
+    * round by 3×, re-measure isolated before believing either way."
+    */
+  val XRoundFactor = 3.0
+
+  private lazy val prevMins: Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "scripts/bench_prev.json")
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else """"([^"]+)"\s*:\s*([0-9.]+)""".r
+      .findAllMatchIn(java.nio.file.Files.readString(p))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  private def rerunIfXRoundSlow(name: String)(f: => Unit): Option[Double] =
+    prevMins.get(name).filter(repLog(name).min > XRoundFactor * _)
+      .map(_ => logged(name, 1)(f))
+
+  private def isXRoundSlow(name: String, min: Double): Boolean =
+    prevMins.get(name).exists(min > XRoundFactor * _)
+
   private def minOf(reps: Int)(f: => Unit): Double =
     (1 to reps).map(_ => time(f)._1).min
 
@@ -193,7 +224,8 @@ object Bench {
       "q15_simhash", "q16_langid", "q17_quality", "q18_token_count",
       "q19_fingerprint", "q21_ann_lsh", "q23_multimodal_meta", "q24_events_window",
       "q32_sq_u4_knn", "q34_random_proj", "q35_cloud_distances", "q36_events_filesink",
-      "q44_ann_persisted", "q45_sq_ivf_persisted", "q46_searchbatch_external")
+      "q44_ann_persisted", "q45_sq_ivf_persisted", "q46_searchbatch_external",
+      "q47_ivf_f64_persisted", "q48_closestpair_lsh", "q49_neardup_lsh")
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     def opOnce(name: String): Unit =
       SparkEntry.queries.get(name).foreach { fn =>
@@ -210,6 +242,12 @@ object Bench {
     // flag in ops_detail rather than a phantom regression in the min
     opNames.filter(SparkEntry.queries.contains).foreach { name =>
       rerunIfNoisy(name)(opOnce(name)).foreach(queries(name) = _)
+    }
+    // cross-round pass: ops slower than 3× last round's recorded min
+    // get one more rep too — the all-reps-contended mode same-run
+    // dispersion can't see (r4's q36)
+    opNames.filter(SparkEntry.queries.contains).foreach { name =>
+      rerunIfXRoundSlow(name)(opOnce(name)).foreach(queries(name) = _)
     }
     // q03 split: the registry q03 builds a fresh index AND queries it in
     // one call — timed together it conflates build throughput with query
@@ -236,6 +274,30 @@ object Bench {
       queries("q03_query") = q
       queries("q03_bm25_wand") = b + q
       graft.operators.StreamingOps.deleteRec(made.toSeq: _*)
+    }
+    // ---- ann_batch: the persisted-index design-point path — build the
+    // quantized IVF index ONCE (that's its contract: the coding pass is
+    // amortized across every later batch), then time the bucket-bounded
+    // batch probe. This is the number that tracks the 100 TB query
+    // story round-over-round; the registry's q44/q45/q47 shapes are
+    // oracle forms (exhaustive probe / bulk self-join), not this path.
+    val annBatch = locally {
+      import spark.implicits._
+      val idx = java.nio.file.Files.createTempDirectory("graft-bench-annix-").toString
+      try {
+        val (bSec, meta) = time(
+          graft.index.AnnIndex.buildIvf(spark, sfDir, idx, quantLevels = 255))
+        val qids = graft.corpus.Corpus.embeddings(spark, sfDir)
+          .select("vec_id").orderBy("vec_id").limit(32)
+          .as[Long].collect().toSeq
+        def batchOnce(): Unit =
+          graft.index.AnnIndex.searchIvfBatch(spark, idx, sfDir, qids).collect()
+        batchOnce() // warmup
+        var s = logged("ann_batch", OpsReps)(batchOnce())
+        rerunIfNoisy("ann_batch")(batchOnce()).foreach(s = _)
+        rerunIfXRoundSlow("ann_batch")(batchOnce()).foreach(s = _)
+        (bSec, s, qids.length, meta.nlist)
+      } finally graft.operators.StreamingOps.deleteRec(idx)
     }
     spark.stop()
 
@@ -339,7 +401,8 @@ object Bench {
       case (n, rs) if isNoisy(rs.toSeq) => n }.toSet
     val opsDetail = repLog.map { case (nm, rs) =>
       "\"" + nm + "\":{\"reps\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]" +
-        (if (noisyOps(nm)) ",\"noisy\":true" else "") + "}"
+        (if (noisyOps(nm)) ",\"noisy\":true" else "") +
+        (if (isXRoundSlow(nm, rs.min)) ",\"xround\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val extra =
       f""""build_docs_per_sec":${nDocs / buildHi}%.1f,"wand_queries_per_sec":${20.0 * 1 / wandHi}%.2f,""" +
@@ -353,10 +416,23 @@ object Bench {
         f""""selective":{"build_sec":${selective._1}%.3f,"query_sec":${selective._2}%.3f,""" +
         s""""docs_scored":${selective._3._1},"blocks_decoded":${selective._3._2},""" +
         s""""blocks_skipped":${selective._3._3}},""" +
-        s""""ops_detail":$opsDetail,""" +
+        f""""ann_batch":{"build_sec":${annBatch._1}%.3f,"batch_sec":${annBatch._2}%.3f,""" +
+        s""""batch_queries":${annBatch._3},"nlist":${annBatch._4}},""" +
         f""""inflate":$Inflate,"bench_docs":$nDocs"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
+    // r4 lesson (BENCH_r04 parsed:null): the per-rep ops_detail arrays
+    // grew the single JSON line past the driver's stdout tail window,
+    // truncating the HEAD of the line — the official artifact became
+    // unparseable. The headline JSON must stay compact and be the FINAL
+    // line; the bulky per-rep evidence goes on its own EARLIER stdout
+    // line and, durably, into a sidecar file next to the repo.
+    val headline =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}"""
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar),
+      s"""{"headline":$headline,"ops_detail":$opsDetail}""" + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    println(s"""{"metric":"ops_detail","ops_detail":$opsDetail}""")
+    println(headline)
     graft.operators.StreamingOps.deleteRec(corpusDir)
   }
 }

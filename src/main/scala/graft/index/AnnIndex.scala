@@ -209,6 +209,13 @@ object AnnIndex {
     if (m.dim == 0) return emptyResult(spark)
     val indexed = spark.read.parquet(AnnPaths(indexDir).codes)
       .select(col("vec_id").as("nbr_id"), col("bucket"))
+    // the distinct shuffles the full candidate pair set — deliberate on
+    // this BULK path (the whole corpus queries at once, so pair volume
+    // is the job; LSH duplicates each colliding pair up to `tables`
+    // times and deduping two-long rows beats rescoring wide ones ×L).
+    // The bounded batch path dedups post-rescore instead (see
+    // batchFromProbe's kind == "lsh" note) because its pair set is
+    // probe-bounded, not corpus-sized.
     val pairIds = codedFrame(spark, sfDir, m)
       .select(col("vec_id").as("q_id"), col("bucket"))
       .join(indexed, "bucket")
@@ -234,6 +241,7 @@ object AnnIndex {
       .filter(col("vec_id").isin(queryIds: _*))
       .as[(Long, Seq[Double])].collect()
       .map { case (id, e) => (id, e.toArray) }
+    requireAllFound(queryIds, qvecs)
     lshVecs(spark, indexDir, sfDir, m, qvecs, k)
   }
 
@@ -258,6 +266,21 @@ object AnnIndex {
         "external query vectors do not have")
     requireQueryBatch(queries, m)
     lshVecs(spark, indexDir, sfDir, m, queries.toArray, k)
+  }
+
+  /** Corpus-id batches are caller-shaped too — a typo'd or stale id
+    * would otherwise collect no vector and silently return NO rows for
+    * that query (the isin filter simply misses), the inconsistent twin
+    * of [[requireQueryBatch]]'s loud failures on the external surface.
+    */
+  private def requireAllFound(queryIds: Seq[Long],
+      qvecs: Array[(Long, Array[Double])]): Unit = {
+    val found = qvecs.map(_._1).toSet
+    val missing = queryIds.filterNot(found)
+    require(missing.isEmpty,
+      s"query ids not found in the corpus embeddings: ${missing.mkString(", ")} — " +
+        "corpus-id batches must resolve every id (use searchLshVecs/" +
+        "searchIvfVecs to search with caller-supplied vectors)")
   }
 
   /** External batches are caller-shaped — fail loudly on the two silent
@@ -421,6 +444,7 @@ object AnnIndex {
       .filter(col("vec_id").isin(queryIds: _*))
       .as[(Long, Seq[Double])].collect()
       .map { case (id, e) => (id, e.toArray) }
+    requireAllFound(queryIds, qvecs)
     ivfVecs(spark, indexDir, sfDir, m, qvecs, k, nprobe)
   }
 
@@ -551,6 +575,29 @@ object AnnIndex {
     val idx = java.nio.file.Files.createTempDirectory("graft-sqidx-").toString
     try {
       val m = buildIvf(spark, sfDir, idx, nlist = 16, quantLevels = 255)
+      graft.operators.StreamingOps.localized(
+        searchIvfAll(spark, idx, sfDir, k, nprobe = math.max(1, m.nlist)))
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
+  /** Registry entry (q47): build an f64 (unquantized) IVF index and
+    * probe it exhaustively (nprobe = nlist) — the probe set covers
+    * every cell, so the candidate set is the full cross and the result
+    * is the exact kNN: row-identical to
+    * [[graft.operators.VectorOps.allKnn]] and hence under its DuckDB
+    * oracle. This pins the f64 persisted READ path (build → codes
+    * write → probe join → rescore → rank) under the driver's hash gate
+    * the way q45 pins the quantized one — between them, both stored
+    * payload layouts sit under an end-to-end oracle, and q44's LSH
+    * variant shares the oracle via the q21 pipeline SQL. The
+    * production shape is nprobe ≪ nlist (recall-gated like q22);
+    * exhaustive probing is O(n²), hence the gold-path guard.
+    */
+  def ivfF64PersistedOnCorpus(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    VectorOps.guardExact(spark, VectorOps.embCount(spark, sfDir))
+    val idx = java.nio.file.Files.createTempDirectory("graft-f64idx-").toString
+    try {
+      val m = buildIvf(spark, sfDir, idx, nlist = 16)
       graft.operators.StreamingOps.localized(
         searchIvfAll(spark, idx, sfDir, k, nprobe = math.max(1, m.nlist)))
     } finally graft.operators.StreamingOps.deleteRec(idx)

@@ -106,10 +106,6 @@ object AnnOps {
     */
   def annLsh(spark: SparkSession, sfDir: String, k: Int = 5, nbits: Int = 0,
       tables: Int = 16): DataFrame = {
-    import spark.implicits._
-    val embds = embDs(spark, sfDir)
-    val bits = if (nbits > 0) nbits
-      else deriveNbits(VectorOps.embCount(spark, sfDir))
     // PAYLOAD-FREE bucket join: codes are (id, bucket) longs only — the
     // old form shipped both 64-dim arrays through the bucket join and
     // then distinct()'d the wide rows (multi-table collisions duplicate
@@ -118,26 +114,123 @@ object AnnOps {
     // pair — two id equi-joins that partition cleanly at any scale.
     // empty corpus → empty result (first() would throw); also skips the
     // plane tabulation and the extra job entirely
+    lshCodedCapped(spark, sfDir, nbits, tables) match {
+      case None => VectorOps.emptyKnnFrame(spark)
+      case Some((coded, capped)) =>
+        val pairIds = coded.select(col("vec_id").as("q_id"), col("bucket"))
+          .join(capped.select(col("vec_id").as("nbr_id"), col("bucket")), "bucket")
+          .select("q_id", "nbr_id")
+          .distinct()
+        rescoreTopK(spark, sfDir, pairIds, k)
+    }
+  }
+
+  /** The shared sign-LSH candidate machinery: the corpus coded into
+    * (vec_id, bucket) rows ([[codeLsh]]) plus the capped indexed side —
+    * None on an empty corpus. The per-bucket cap runs through the
+    * shared bounded-heap aggregator (dist = vec_id keeps the LOWEST
+    * ids, the pinned deterministic choice): the cap exists precisely
+    * for degenerate buckets (identical vectors the hyperplanes cannot
+    * split), i.e. exactly the buckets that are huge — the heap combines
+    * map-side, ≤[[BucketCap]] rows per (partition, bucket) shuffle,
+    * independent of bucket population. One definition so the inline
+    * kNN ([[annLsh]]), the bucketed closest pair ([[closestPairLsh]])
+    * and the bucketed near-dup ([[nearDupLsh]]) can never drift on
+    * coding or cap rules.
+    */
+  private[graft] def lshCodedCapped(spark: SparkSession, sfDir: String,
+      nbits: Int, tables: Int): Option[(DataFrame, DataFrame)] = {
+    import spark.implicits._
+    val embds = embDs(spark, sfDir)
     val dimOpt = embds.select(size(col("emb"))).as[Int].head(1).headOption
-    if (dimOpt.isEmpty) return VectorOps.emptyKnnFrame(spark)
-    val dim = dimOpt.get
-    val coded = codeLsh(embds, tables, bits, dim)
-    // per-bucket cap through the shared bounded-heap aggregator (dist =
-    // vec_id keeps the LOWEST ids, the pinned deterministic choice): the
-    // former row_number window sorted each bucket in ONE reducer task —
-    // and the cap exists precisely for degenerate buckets (identical
-    // vectors the hyperplanes cannot split), i.e. exactly the buckets
-    // that are huge. The heap combines map-side: ≤BucketCap rows per
-    // (partition, bucket) shuffle, independent of bucket population.
-    val indexed = VectorOps.topKByDist(
-        coded.select(col("bucket"), col("vec_id"), col("vec_id").cast("double").as("dist")),
-        BucketCap, "bucket", "vec_id")
-      .select(col("vec_id"), col("bucket"))
-    val pairIds = coded.select(col("vec_id").as("q_id"), col("bucket"))
-      .join(indexed.select(col("vec_id").as("nbr_id"), col("bucket")), "bucket")
-      .select("q_id", "nbr_id")
-      .distinct()
-    rescoreTopK(spark, sfDir, pairIds, k)
+    dimOpt.map { dim =>
+      val bits = if (nbits > 0) nbits
+        else deriveNbits(VectorOps.embCount(spark, sfDir))
+      val coded = codeLsh(embds, tables, bits, dim)
+      val capped = VectorOps.topKByDist(
+          coded.select(col("bucket"), col("vec_id"),
+            col("vec_id").cast("double").as("dist")),
+          BucketCap, "bucket", "vec_id")
+        .select(col("vec_id"), col("bucket"))
+      (coded, capped)
+    }
+  }
+
+  /** Q9 scale path: LSH-bucketed closest pair — candidates are
+    * same-bucket collisions in any table (the q21 coding pass
+    * verbatim), exact-rescored, global running min. The reference's
+    * `closestpair` is per-element 1-NN + a running minimum
+    * (/root/reference/src/closestpair.jl:17-78) — the same
+    * candidates-then-min shape, with the LSH buckets standing in for
+    * the SearchGraph's candidate generation. NO cartesian anywhere:
+    * the pair space is bucket-bounded, so this runs at corpus sizes
+    * where [[VectorOps.closestPair]]'s O(n²) gold physically cannot —
+    * that form stays as the capped oracle this one is gated against.
+    * Approximate with LSH recall: the true pair is found iff it
+    * collides in ≥1 table (at fixture scale it does — spec-gated);
+    * cap truncation keeps the LOWEST ids per bucket, so a degenerate
+    * all-duplicates bucket still yields its (lowest, second-lowest)
+    * zero-distance pair.
+    */
+  def closestPairLsh(spark: SparkSession, sfDir: String, nbits: Int = 0,
+      tables: Int = 16): DataFrame = {
+    import spark.implicits._
+    lshCodedCapped(spark, sfDir, nbits, tables) match {
+      case None => Seq.empty[(Long, Long, Double)].toDF("i", "j", "dist")
+      case Some((coded, capped)) =>
+        val embds = embDs(spark, sfDir)
+        val pairIds = coded.select(col("vec_id").as("q_id"), col("bucket"))
+          .join(capped.select(col("vec_id").as("nbr_id"), col("bucket")), "bucket")
+          .filter(col("q_id") =!= col("nbr_id"))
+          .select(least(col("q_id"), col("nbr_id")).as("i"),
+            greatest(col("q_id"), col("nbr_id")).as("j"))
+          .distinct()
+        pairIds
+          .join(embds.select(col("vec_id").as("i"), col("emb").as("a_emb")), "i")
+          .join(embds.select(col("vec_id").as("j"), col("emb").as("b_emb")), "j")
+          .select(col("i").cast("long"), col("j").cast("long"),
+            VectorOps.distCol(col("a_emb"), col("b_emb")).as("dist"))
+          .orderBy(col("dist").asc, col("i").asc, col("j").asc)
+          .limit(1)
+    }
+  }
+
+  /** Q10 scale path: LSH-bucketed order-free near-dup — the q06
+    * semantics (earliest cover within ε among ids ≤ own) over the
+    * bucket-bounded candidate space instead of the n² pair space.
+    * Every vector is explicitly its own candidate (self dist 0 ≤ ε),
+    * so coverage is total even where cap truncation drops a vector
+    * from its own bucket's indexed side — exactly q06's guarantee.
+    * Approximate only in WHICH cover is found: the true earliest cover
+    * is reported iff it collides with the vector in ≥1 table
+    * (spec-gated agreement on the fixture); misses degrade toward a
+    * LATER (still within-ε) cover or self, never a wrong distance.
+    */
+  def nearDupLsh(spark: SparkSession, sfDir: String, eps: Double = 0.65,
+      nbits: Int = 0, tables: Int = 16): DataFrame = {
+    import spark.implicits._
+    lshCodedCapped(spark, sfDir, nbits, tables) match {
+      case None => Seq.empty[(Long, Long, Double)].toDF("vec_id", "nn", "dist")
+      case Some((coded, capped)) =>
+        val embds = embDs(spark, sfDir)
+        val pairIds = coded.select(col("vec_id"), col("bucket"))
+          .join(capped.select(col("vec_id").as("cand"), col("bucket")), "bucket")
+          .filter(col("cand") < col("vec_id"))
+          .select("vec_id", "cand")
+          .union(embds.select(col("vec_id"), col("vec_id").as("cand")))
+          .distinct()
+        val within = pairIds
+          .join(embds.select(col("vec_id"), col("emb").as("a_emb")), "vec_id")
+          .join(embds.select(col("vec_id").as("cand"), col("emb").as("b_emb")), "cand")
+          .select(col("vec_id"), col("cand"),
+            VectorOps.distCol(col("a_emb"), col("b_emb")).as("dist"))
+          .filter(col("dist") <= eps)
+        within.groupBy(col("vec_id"))
+          .agg(min_by(struct(col("cand"), col("dist")), col("cand")).as("m"))
+          .select(col("vec_id").cast("long"), col("m.cand").cast("long").as("nn"),
+            col("m.dist").cast("double").as("dist"))
+          .orderBy("vec_id")
+    }
   }
 
   /** The corpus coded into (vec_id, bucket) rows, one row per table —
@@ -234,6 +327,151 @@ object AnnOps {
       .select(col("q_id").as("vec_id"), col("rnk"), col("nbr_id"), col("dist"))
       .orderBy("vec_id", "rnk")
   }
+
+  // ---------------------------------------------- DuckDB oracles (sign-LSH)
+
+  /** The ENTIRE sign-LSH pipeline as a DuckDB CTE chain — planes from
+    * splitmix64, coding, the per-bucket cap — so the inline ANN
+    * operator (q21), the persisted LSH index (q44, row-identical by
+    * the AnnIndexSpec parity) and the bucketed closest-pair/near-dup
+    * scale paths all sit under the driver's bit-exact hash gate
+    * instead of only a recall spec.
+    *
+    * Faithfulness notes, piece by piece:
+    *  - splitmix64 runs in HUGEINT arithmetic mod 2^64; the two 64-bit
+    *    multiplies split the constant into 32-bit halves
+    *    (a·b ≡ ((a·b_hi mod 2^32)·2^32 + a·b_lo) mod 2^64) because a
+    *    full 64×64 product overflows INT128. Verified bit-identical to
+    *    the JVM for every (table, bit, dim) key in use.
+    *  - plane value: (h >>> 11) / 2^53 · 2 − 1 — all steps exact or
+    *    correctly-rounded IEEE on both engines.
+    *  - the sign dot accumulates left-to-right in double on both sides
+    *    (lshCodeFast's sequential loop ≡ list_dot_product — the same
+    *    identity every distCol oracle already relies on).
+    *  - nbits mirrors [[deriveNbits]] (ln ratio + ceil + clamp). A
+    *    corpus size landing EXACTLY on a power-of-two boundary
+    *    (n = TargetBucket·2^j) could in principle ceil differently
+    *    across libm implementations; the driver fixtures are nowhere
+    *    near a boundary and the 4-clamp floors everything ≤ 512.
+    *  - the cap keeps the [[BucketCap]] lowest vec_ids per bucket
+    *    (row_number ≡ the bounded-heap rule, ids unique in a bucket).
+    * The 4096 in the grid is only the unnest ceiling for the embedding
+    * dim (actual dim read from the table); 24 is the nbits clamp.
+    */
+  private def lshCodesSql(tables: Int = 16, cap: Int = BucketCap): String = {
+    val c1 = java.lang.Long.toUnsignedString(-7046029254386353131L) // 0x9E3779B97F4A7C15
+    val c2 = -4658895280553007687L // 0xBF58476D1CE4E5B9
+    val c3 = -7723592293110705685L // 0x94D049BB133111EB
+    def hiLo(c: Long) = ((c >>> 32), c & 0xffffffffL)
+    val (c2h, c2l) = hiLo(c2)
+    val (c3h, c3l) = hiLo(c3)
+    s"""params AS (
+       |  SELECT LEAST(24, GREATEST(4,
+       |           CAST(ceil(ln(count(*) / ${TargetBucket}.0) / ln(2.0)) AS INTEGER))) AS nbits,
+       |         (SELECT len(embedding) FROM embeddings LIMIT 1) AS dim
+       |  FROM embeddings
+       |), grid AS (
+       |  SELECT t.t, j.j, i.i
+       |  FROM range(0,$tables) t(t), range(0,24) j(j), range(0,4096) i(i), params p
+       |  WHERE j.j < p.nbits AND i.i < p.dim
+       |), z0 AS (
+       |  SELECT t, j, i,
+       |         (CAST(t*1073741824::BIGINT + j*1048576::BIGINT + i AS HUGEINT) + $c1)
+       |           % 18446744073709551616 AS z
+       |  FROM grid
+       |), z2 AS (
+       |  SELECT t, j, i,
+       |         ((xor(z, z >> 30) * $c2h) % 4294967296 * 4294967296
+       |           + xor(z, z >> 30) * $c2l) % 18446744073709551616 AS z
+       |  FROM z0
+       |), z4 AS (
+       |  SELECT t, j, i,
+       |         ((xor(z, z >> 27) * $c3h) % 4294967296 * 4294967296
+       |           + xor(z, z >> 27) * $c3l) % 18446744073709551616 AS z
+       |  FROM z2
+       |), plist AS (
+       |  SELECT t, j,
+       |         list(CAST(xor(z, z >> 31) >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0
+       |              ORDER BY i) AS pl
+       |  FROM z4 GROUP BY t, j
+       |), e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), codes AS (
+       |  SELECT e.vec_id,
+       |         CAST(p.t AS BIGINT) * 4294967296
+       |           + CAST(sum(CASE WHEN list_dot_product(e.emb, p.pl) > 0
+       |                           THEN CAST(1 AS BIGINT) << p.j ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e, plist p
+       |  GROUP BY e.vec_id, p.t
+       |), capped AS (
+       |  SELECT bucket, vec_id FROM (
+       |    SELECT bucket, vec_id,
+       |           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+       |    FROM codes) WHERE rn <= $cap
+       |)""".stripMargin
+  }
+
+  /** q21/q44 oracle: the [[annLsh]] result computed end-to-end in
+    * DuckDB (candidates = any-table bucket collisions against the
+    * capped side, exact rescoring, pinned (dist, nbr) tie rule).
+    */
+  def annLshOracleSql(k: Int = 5): String =
+    s"""WITH ${lshCodesSql()}, cand AS (
+       |  SELECT DISTINCT c.vec_id AS q_id, x.vec_id AS nbr_id
+       |  FROM codes c JOIN capped x USING (bucket)
+       |), scored AS (
+       |  SELECT cand.q_id, cand.nbr_id,
+       |         round(1.0 - list_dot_product(a.emb, b.emb), 4) + 0.0 AS dist
+       |  FROM cand JOIN e a ON a.vec_id = cand.q_id
+       |            JOIN e b ON b.vec_id = cand.nbr_id
+       |), ranked AS (
+       |  SELECT CAST(q_id AS BIGINT) AS vec_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, nbr_id ASC) AS INTEGER) AS rnk,
+       |         CAST(nbr_id AS BIGINT) AS nbr_id, CAST(dist AS DOUBLE) AS dist
+       |  FROM scored
+       |)
+       |SELECT vec_id, rnk, nbr_id, dist FROM ranked WHERE rnk <= $k
+       |ORDER BY vec_id, rnk""".stripMargin
+
+  /** q48 oracle: [[closestPairLsh]]'s own candidate space, faithfully —
+    * NOT the exact closest pair (on the driver fixtures the two
+    * coincide; the spec asserts that stronger fact, the oracle stays
+    * data-independent).
+    */
+  def closestPairLshOracleSql: String =
+    s"""WITH ${lshCodesSql()}, cand AS (
+       |  SELECT DISTINCT LEAST(c.vec_id, x.vec_id) AS i, GREATEST(c.vec_id, x.vec_id) AS j
+       |  FROM codes c JOIN capped x USING (bucket)
+       |  WHERE c.vec_id <> x.vec_id
+       |)
+       |SELECT CAST(cand.i AS BIGINT) AS i, CAST(cand.j AS BIGINT) AS j,
+       |       CAST(round(1.0 - list_dot_product(a.emb, b.emb), 4) + 0.0 AS DOUBLE) AS dist
+       |FROM cand JOIN e a ON a.vec_id = cand.i JOIN e b ON b.vec_id = cand.j
+       |ORDER BY dist ASC, i ASC, j ASC LIMIT 1""".stripMargin
+
+  /** q49 oracle: [[nearDupLsh]]'s earliest-cover over the LSH candidate
+    * space (∪ self), faithfully.
+    */
+  def nearDupLshOracleSql(eps: Double = 0.65): String =
+    s"""WITH ${lshCodesSql()}, cand AS (
+       |  SELECT c.vec_id, x.vec_id AS cand
+       |  FROM codes c JOIN capped x USING (bucket)
+       |  WHERE x.vec_id < c.vec_id
+       |  UNION
+       |  SELECT vec_id, vec_id FROM e
+       |), within AS (
+       |  SELECT cand.vec_id, cand.cand,
+       |         round(1.0 - list_dot_product(a.emb, b.emb), 4) + 0.0 AS dist
+       |  FROM cand JOIN e a ON a.vec_id = cand.vec_id
+       |            JOIN e b ON b.vec_id = cand.cand
+       |), f AS (
+       |  SELECT vec_id, cand, dist,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cand ASC) AS rn
+       |  FROM within WHERE dist <= $eps
+       |)
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cand AS BIGINT) AS nn,
+       |       CAST(dist AS DOUBLE) AS dist
+       |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------ optimize_index! goals
 

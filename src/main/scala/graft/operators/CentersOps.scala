@@ -89,9 +89,12 @@ object CentersOps {
       .as[(Long, Seq[Double])].collect()
       .map { case (id, e) => (id, e.toArray) }
       .sortBy(_._1)
-    // tiny-n edge (an unlucky hash draw on a corpus barely above
-    // target): fall back to the deterministic id-ordered prefix
-    val pts = if (sample.nonEmpty) sample
+    // short-draw edge (an unlucky hash draw on a corpus barely above
+    // target): a nonempty sample SMALLER than k would silently train
+    // fewer than k centers while the caller's metadata still records k
+    // (nlist) — fall back to the deterministic id-ordered prefix
+    // whenever the draw cannot seat k centers, not only when empty
+    val pts = if (sample.nonEmpty && sample.length >= math.min(k.toLong, n)) sample
       else emb.orderBy("vec_id").limit(target.toInt)
         .as[(Long, Seq[Double])].collect()
         .map { case (id, e) => (id, e.toArray) }

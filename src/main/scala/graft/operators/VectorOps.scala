@@ -284,8 +284,12 @@ object VectorOps {
   /** Q9 `closestpair` (/root/reference/src/closestpair.jl:17-78): the
     * globally closest distinct pair; partial minima per partition +
     * final reduce ≡ the reference's per-thread best + reduction.
+    * O(n²) gold path ([[guardExact]]-capped); the bucketed scale
+    * variant is [[AnnOps.closestPairLsh]] — gate it against this one
+    * on samples.
     */
   def closestPair(spark: SparkSession, sfDir: String): DataFrame = {
+    guardExact(spark, embCount(spark, sfDir))
     val a = emb(spark, sfDir, "a")
     val b = emb(spark, sfDir, "b")
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
@@ -315,8 +319,11 @@ object VectorOps {
     * sort(map)==sort(unique(nn)) invariant, which holds only for the
     * sequential form. Guaranteed here: all dist ≤ ε; nn ≤ vec_id;
     * nn(nn) may itself be covered (chains are not collapsed).
+    * O(n²) gold path ([[guardExact]]-capped); the bucketed scale
+    * variant is [[AnnOps.nearDupLsh]].
     */
   def nearDup(spark: SparkSession, sfDir: String, eps: Double = 0.65): DataFrame = {
+    guardExact(spark, embCount(spark, sfDir))
     val a = emb(spark, sfDir, "a")
     val b = emb(spark, sfDir, "b")
     val within = a.crossJoin(b)

@@ -55,12 +55,12 @@ object Registry {
     "q41_wand_from_pages" -> ((s, dir) => graft.index.Wand.topKOnPagesCorpus(s, dir)),
     "q42_wand_eps_hints" -> ((s, dir) => graft.index.Wand.topKOnCorpusEpsHints(s, dir)),
     "q43_wand_scheduled" -> ((s, dir) => graft.index.Wand.topKOnScheduledIngest(s, dir)),
-    // no oracle (approximate, like q21 whose recall gate it inherits);
-    // AnnIndexSpec pins row-identity with q21's operator, so its
-    // correctness evidence IS q21's plus the parity gate
     "q44_ann_persisted" -> ((s, dir) => graft.index.AnnIndex.annPersistedOnCorpus(s, dir)),
     "q45_sq_ivf_persisted" -> ((s, dir) => graft.index.AnnIndex.sqIvfPersistedOnCorpus(s, dir)),
-    "q46_searchbatch_external" -> ((s, dir) => graft.operators.VectorOps.searchBatchOnCorpus(s, dir))
+    "q46_searchbatch_external" -> ((s, dir) => graft.operators.VectorOps.searchBatchOnCorpus(s, dir)),
+    "q47_ivf_f64_persisted" -> ((s, dir) => graft.index.AnnIndex.ivfF64PersistedOnCorpus(s, dir)),
+    "q48_closestpair_lsh" -> ((s, dir) => graft.operators.AnnOps.closestPairLsh(s, dir)),
+    "q49_neardup_lsh" -> ((s, dir) => graft.operators.AnnOps.nearDupLsh(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -85,6 +85,10 @@ object Registry {
     "q18_token_count" -> graft.operators.TextOps.tokenCountOracleSql,
     "q19_fingerprint" -> graft.operators.TextOps.fingerprintOracleSql,
     "q20_postings_export" -> graft.operators.IndexExport.postingsExportOracleSql,
+    // the full sign-LSH pipeline (splitmix64 planes → coding → cap →
+    // candidates → exact rescore) expressed in DuckDB SQL — the inline
+    // ANN operator under the driver's bit-exact hash gate
+    "q21_ann_lsh" -> graft.operators.AnnOps.annLshOracleSql(),
     "q23_multimodal_meta" -> graft.operators.MultimodalOps.mediaMetaOracleSql,
     "q24_events_window" -> graft.operators.StreamingOps.windowedEventCountsOracleSql,
     "q25_permuted_knn" -> graft.operators.VectorOps.allKnnOracleSql(3),
@@ -114,12 +118,25 @@ object Registry {
     // scheduler-managed ingest (log-growth compaction) must answer
     // exactly like one full build
     "q43_wand_scheduled" -> graft.operators.ExactSearch.oracleSql(),
+    // the persisted LSH index's bulk search is row-identical to the
+    // inline q21 operator (same planes/cap/rescoring; AnnIndexSpec pins
+    // the parity) — it shares q21's pipeline oracle
+    "q44_ann_persisted" -> graft.operators.AnnOps.annLshOracleSql(),
     // a quantized (SQMinC u8) persisted IVF index probed exhaustively
     // (nprobe = nlist) IS the full kNN over the quantization grid —
     // q39's oracle pins quantize→pack→write→read→unpack→dequantize→rank
     "q45_sq_ivf_persisted" -> graft.operators.DistanceOps.sqMinCKnnOracleSql(),
     // the external-query searchbatch surface, driven with pinned corpus
     // vectors passed as explicit literals ≡ the filtered exhaustive kNN
-    "q46_searchbatch_external" -> graft.operators.VectorOps.searchBatchOracleSql()
+    "q46_searchbatch_external" -> graft.operators.VectorOps.searchBatchOracleSql(),
+    // an f64 IVF index probed exhaustively (nprobe = nlist) covers every
+    // cell, so the persisted read path returns the exact kNN — q04's
+    // oracle pins build→write→probe→rescore→rank end-to-end
+    "q47_ivf_f64_persisted" -> graft.operators.VectorOps.allKnnOracleSql(),
+    // the bucketed scale paths under their own candidate-space oracles
+    // (data-independent; the specs additionally assert closestPairLsh
+    // finds the TRUE closest pair on the fixtures)
+    "q48_closestpair_lsh" -> graft.operators.AnnOps.closestPairLshOracleSql,
+    "q49_neardup_lsh" -> graft.operators.AnnOps.nearDupLshOracleSql()
   )
 }

@@ -161,4 +161,60 @@ class AnnSpec extends AnyFunSuite {
     def bucket(c: AnnOps.IvfConfig) = math.round(c.radiusMean / maxRad / 0.1)
     assert(!ladder.exists(c => bucket(c) == bucket(or) && c.cost < or.cost))
   }
+
+  test("closestPairLsh: finds the TRUE closest pair on the fixture; no cartesian in the plan") {
+    val spark = TestSpark.spark
+    val gold = VectorOps.closestPair(spark, dir).collect().head
+    val lsh = AnnOps.closestPairLsh(spark, dir)
+    // scale claim first: the pair space must be bucket-bounded — the
+    // O(n²) node the gold path uses may not appear anywhere
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "closestPairLsh plan contains a cartesian product")
+    val got = lsh.collect().head
+    // the true pair collides in ≥1 of 16 tables on the fixture, so the
+    // bucketed path must return the exact gold row (dist is the shared
+    // rounded distCol, hence bit-comparable)
+    assert(got.getLong(0) == gold.getLong(0) && got.getLong(1) == gold.getLong(1)
+      && got.getDouble(2) == gold.getDouble(2),
+      s"closestPairLsh $got != exact gold $gold")
+  }
+
+  test("nearDupLsh: q06 invariants hold; misses only ever move the cover LATER") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val eps = 0.65
+    val lsh = AnnOps.nearDupLsh(spark, dir, eps).cache()
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "nearDupLsh plan contains a cartesian product")
+    val n = VectorOps.embCount(spark, dir)
+    // total coverage: every vector reports exactly one cover (self is
+    // always a candidate, so cap truncation cannot lose a row)
+    assert(lsh.count() == n)
+    assert(lsh.filter(col("dist") > eps).count() == 0)
+    assert(lsh.filter(col("nn") > col("vec_id")).count() == 0)
+    // vs the exact q06 semantics: agreement is LSH-recall-bounded, and
+    // a miss must degrade toward a LATER (still within-ε) cover — never
+    // an earlier id the exact form rejected, never a wrong distance
+    val exact = VectorOps.nearDup(spark, dir, eps)
+      .select(col("vec_id"), col("nn").as("exact_nn"))
+    val joined = lsh.join(exact, "vec_id").cache()
+    val agree = joined.filter(col("nn") === col("exact_nn")).count()
+    info(s"nearDupLsh agreement with exact: $agree/$n")
+    assert(agree >= (n * 0.9).toLong, s"agreement $agree/$n below 0.9")
+    assert(joined.filter(col("nn") < col("exact_nn")).count() == 0,
+      "LSH near-dup reported an EARLIER cover than the exact form")
+  }
+
+  test("exact closestPair/nearDup gold paths refuse above the guard cap") {
+    val spark = TestSpark.spark
+    spark.conf.set("graft.exact.maxN", "10")
+    try {
+      val e1 = intercept[IllegalArgumentException](VectorOps.closestPair(spark, dir))
+      val e2 = intercept[IllegalArgumentException](VectorOps.nearDup(spark, dir))
+      assert(e1.getMessage.contains("graft.exact.maxN"))
+      assert(e2.getMessage.contains("graft.exact.maxN"))
+    } finally spark.conf.unset("graft.exact.maxN")
+  }
 }
