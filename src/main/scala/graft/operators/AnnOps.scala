@@ -134,9 +134,9 @@ object AnnOps {
     * split), i.e. exactly the buckets that are huge — the heap combines
     * map-side, ≤[[BucketCap]] rows per (partition, bucket) shuffle,
     * independent of bucket population. One definition so the inline
-    * kNN ([[annLsh]]), the bucketed closest pair ([[closestPairLsh]])
-    * and the bucketed near-dup ([[nearDupLsh]]) can never drift on
-    * coding or cap rules.
+    * kNN ([[annLsh]]) and the bucketed pair ops (via
+    * [[lshCodedVecsCapped]], which derives its cap from the same rule)
+    * can never drift on coding or cap rules.
     */
   private[graft] def lshCodedCapped(spark: SparkSession, sfDir: String,
       nbits: Int, tables: Int): Option[(DataFrame, DataFrame)] = {
@@ -156,6 +156,44 @@ object AnnOps {
     }
   }
 
+  /** The VECTOR-CARRYING variant of [[lshCodedCapped]] for the bucketed
+    * pair operators: the same coding pass and cap rule, but both frames
+    * keep the embedding so the pair distance is computable IN the
+    * bucket join — no candidate-pair `distinct`, no id-gather joins
+    * afterwards. The trade is deliberate and measured: a first-cut
+    * closestPairLsh that distinct'ed the (q, nbr) pair set and gathered
+    * vectors by id filled this box's disk at 1M×16 tables (the ~half-
+    * billion-row pair set hit TWO sort spills — the distinct and the
+    * gather join — before a single distance was computed). Carrying the
+    * vectors costs ≤ tables× duplicate distance evals for pairs that
+    * collide in several tables, but duplicates cannot change a min /
+    * min_by (unlike [[annLsh]]'s top-k heap, where a duplicate neighbor
+    * would occupy two slots — which is exactly why the kNN path keeps
+    * its distinct and this one must not be used for it), and the whole
+    * reduction is algebraic: map-side partial minima, a shuffle of
+    * partials only, never of the pair set.
+    */
+  private[graft] def lshCodedVecsCapped(spark: SparkSession, sfDir: String,
+      nbits: Int, tables: Int): Option[(DataFrame, DataFrame)] = {
+    import spark.implicits._
+    val embds = embDs(spark, sfDir)
+    val dimOpt = embds.select(size(col("emb"))).as[Int].head(1).headOption
+    dimOpt.map { dim =>
+      val bits = if (nbits > 0) nbits
+        else deriveNbits(VectorOps.embCount(spark, sfDir))
+      val codedVecs = codeLshVecs(embds, tables, bits, dim)
+      // identical cap rule to lshCodedCapped (lowest BucketCap ids per
+      // bucket); the vector payload rides back in via ONE linear join
+      // keyed on vec_id — nothing here scales with the pair count
+      val capped = VectorOps.topKByDist(
+          codedVecs.select(col("bucket"), col("vec_id"),
+            col("vec_id").cast("double").as("dist")),
+          BucketCap, "bucket", "vec_id")
+        .select(col("vec_id"), col("bucket"))
+      (codedVecs, capped.join(embds, "vec_id"))
+    }
+  }
+
   /** Q9 scale path: LSH-bucketed closest pair — candidates are
     * same-bucket collisions in any table (the q21 coding pass
     * verbatim), exact-rescored, global running min. The reference's
@@ -171,27 +209,32 @@ object AnnOps {
     * cap truncation keeps the LOWEST ids per bucket, so a degenerate
     * all-duplicates bucket still yields its (lowest, second-lowest)
     * zero-distance pair.
+    *
+    * Plan shape (the 100 TB claim): vectors ride THROUGH the bucket
+    * join ([[lshCodedVecsCapped]]), the distance is a projection on the
+    * join output, and the global min is `min(struct(dist, i, j))` — an
+    * algebraic aggregate that combines map-side, so the pair set is
+    * never shuffled, sorted, or deduplicated (duplicate cross-table
+    * collisions evaluate the same dist twice and cannot change a min;
+    * struct-min's lexicographic order IS the (dist, i, j) tie rule).
     */
   def closestPairLsh(spark: SparkSession, sfDir: String, nbits: Int = 0,
       tables: Int = 16): DataFrame = {
     import spark.implicits._
-    lshCodedCapped(spark, sfDir, nbits, tables) match {
+    lshCodedVecsCapped(spark, sfDir, nbits, tables) match {
       case None => Seq.empty[(Long, Long, Double)].toDF("i", "j", "dist")
-      case Some((coded, capped)) =>
-        val embds = embDs(spark, sfDir)
-        val pairIds = coded.select(col("vec_id").as("q_id"), col("bucket"))
-          .join(capped.select(col("vec_id").as("nbr_id"), col("bucket")), "bucket")
+      case Some((codedVecs, cappedVecs)) =>
+        codedVecs.select(col("vec_id").as("q_id"), col("bucket"),
+            col("emb").as("a_emb"))
+          .join(cappedVecs.select(col("vec_id").as("nbr_id"), col("bucket"),
+            col("emb").as("b_emb")), "bucket")
           .filter(col("q_id") =!= col("nbr_id"))
-          .select(least(col("q_id"), col("nbr_id")).as("i"),
-            greatest(col("q_id"), col("nbr_id")).as("j"))
-          .distinct()
-        pairIds
-          .join(embds.select(col("vec_id").as("i"), col("emb").as("a_emb")), "i")
-          .join(embds.select(col("vec_id").as("j"), col("emb").as("b_emb")), "j")
-          .select(col("i").cast("long"), col("j").cast("long"),
+          .select(least(col("q_id"), col("nbr_id")).cast("long").as("i"),
+            greatest(col("q_id"), col("nbr_id")).cast("long").as("j"),
             VectorOps.distCol(col("a_emb"), col("b_emb")).as("dist"))
-          .orderBy(col("dist").asc, col("i").asc, col("j").asc)
-          .limit(1)
+          .agg(min(struct(col("dist"), col("i"), col("j"))).as("m"))
+          .filter(col("m").isNotNull) // empty candidate set → 0 rows
+          .select(col("m.i").as("i"), col("m.j").as("j"), col("m.dist").as("dist"))
     }
   }
 
@@ -205,27 +248,36 @@ object AnnOps {
     * is reported iff it collides with the vector in ≥1 table
     * (spec-gated agreement on the fixture); misses degrade toward a
     * LATER (still within-ε) cover or self, never a wrong distance.
+    *
+    * Plan shape: same carried-vector bucket join as
+    * [[closestPairLsh]]; the ε filter runs ON the join output, so only
+    * within-ε survivors (plus one self row per vector, computed
+    * directly from the corpus — total coverage without any join) reach
+    * the per-vector `min_by` shuffle. Duplicate cross-table collisions
+    * are identical (cand, dist) rows, which a min_by cannot distinguish
+    * — the earliest-cover answer is dedup-insensitive.
     */
   def nearDupLsh(spark: SparkSession, sfDir: String, eps: Double = 0.65,
       nbits: Int = 0, tables: Int = 16): DataFrame = {
     import spark.implicits._
-    lshCodedCapped(spark, sfDir, nbits, tables) match {
+    lshCodedVecsCapped(spark, sfDir, nbits, tables) match {
       case None => Seq.empty[(Long, Long, Double)].toDF("vec_id", "nn", "dist")
-      case Some((coded, capped)) =>
+      case Some((codedVecs, cappedVecs)) =>
         val embds = embDs(spark, sfDir)
-        val pairIds = coded.select(col("vec_id"), col("bucket"))
-          .join(capped.select(col("vec_id").as("cand"), col("bucket")), "bucket")
+        val collide = codedVecs.select(col("vec_id"), col("bucket"),
+            col("emb").as("a_emb"))
+          .join(cappedVecs.select(col("vec_id").as("cand"), col("bucket"),
+            col("emb").as("b_emb")), "bucket")
           .filter(col("cand") < col("vec_id"))
-          .select("vec_id", "cand")
-          .union(embds.select(col("vec_id"), col("vec_id").as("cand")))
-          .distinct()
-        val within = pairIds
-          .join(embds.select(col("vec_id"), col("emb").as("a_emb")), "vec_id")
-          .join(embds.select(col("vec_id").as("cand"), col("emb").as("b_emb")), "cand")
           .select(col("vec_id"), col("cand"),
             VectorOps.distCol(col("a_emb"), col("b_emb")).as("dist"))
+        // self cover: the same distCol formula on (e, e) — 0.0 after
+        // rounding, identically in Spark and the DuckDB oracle
+        val self = embds.select(col("vec_id"), col("vec_id").as("cand"),
+          VectorOps.distCol(col("emb"), col("emb")).as("dist"))
+        collide.union(self)
           .filter(col("dist") <= eps)
-        within.groupBy(col("vec_id"))
+          .groupBy(col("vec_id"))
           .agg(min_by(struct(col("cand"), col("dist")), col("cand")).as("m"))
           .select(col("vec_id").cast("long"), col("m.cand").cast("long").as("nn"),
             col("m.dist").cast("double").as("dist"))
@@ -251,6 +303,28 @@ object AnnOps {
           (id, if (ea.length == dim) lshCodeFast(ea, planes, t)
                else lshCode(e, t, nbits)))
       }.toDF("vec_id", "bucket")
+  }
+
+  /** [[codeLsh]] with the embedding carried alongside each (vec_id,
+    * bucket) row — the pair operators' coding pass. Kept SEPARATE from
+    * codeLsh rather than a projection of this one: the flatMap is
+    * opaque to Catalyst, so a shared vector-carrying form would
+    * serialize the embedding ×tables on every annLsh / persisted-index
+    * build call and rely on nothing to prune it. The bucket derivation
+    * is the same three lines; drift is caught by the oracle (both paths
+    * sit under lshCodesSql's bit-exact gate).
+    */
+  private[graft] def codeLshVecs(embds: DataFrame, tables: Int, nbits: Int,
+      dim: Int): DataFrame = {
+    import embds.sparkSession.implicits._
+    val planes = planeMatrix(tables, nbits, dim)
+    embds.as[(Long, Seq[Double])]
+      .flatMap { case (id, e) =>
+        val ea = e.toArray
+        (0 until tables).map(t =>
+          (id, if (ea.length == dim) lshCodeFast(ea, planes, t)
+               else lshCode(e, t, nbits), e))
+      }.toDF("vec_id", "bucket", "emb")
   }
 
   /** Exact-rescore every (q_id, nbr_id) candidate pair against the
