@@ -232,7 +232,7 @@ object AnnIndex {
     * (same buckets, same candidates, same rescoring).
     */
   def searchLshBatch(spark: SparkSession, indexDir: String, sfDir: String,
-      queryIds: Seq[Long], k: Int = 5): DataFrame = {
+      queryIds: Seq[Long], k: Int = 5, extraProbes: Int = 0): DataFrame = {
     import spark.implicits._
     val m = readMeta(spark, indexDir)
     requireKind(m, "lsh", "searchLshBatch")
@@ -242,7 +242,7 @@ object AnnIndex {
       .as[(Long, Seq[Double])].collect()
       .map { case (id, e) => (id, e.toArray) }
     requireAllFound(queryIds, qvecs)
-    lshVecs(spark, indexDir, sfDir, m, qvecs, k)
+    lshVecs(spark, indexDir, sfDir, m, qvecs, k, extraProbes)
   }
 
   /** Bounded-batch kNN with EXTERNAL query vectors — the reference's
@@ -256,7 +256,8 @@ object AnnIndex {
     * combination fails loudly instead of returning silent empties.
     */
   def searchLshVecs(spark: SparkSession, indexDir: String, sfDir: String,
-      queries: Seq[(Long, Array[Double])], k: Int = 5): DataFrame = {
+      queries: Seq[(Long, Array[Double])], k: Int = 5,
+      extraProbes: Int = 0): DataFrame = {
     val m = readMeta(spark, indexDir)
     requireKind(m, "lsh", "searchLshVecs")
     if (m.dim == 0 || queries.isEmpty) return emptyResult(spark)
@@ -265,7 +266,7 @@ object AnnIndex {
         "a payload-free index gathers rescore vectors by corpus id, which " +
         "external query vectors do not have")
     requireQueryBatch(queries, m)
-    lshVecs(spark, indexDir, sfDir, m, queries.toArray, k)
+    lshVecs(spark, indexDir, sfDir, m, queries.toArray, k, extraProbes)
   }
 
   /** Corpus-id batches are caller-shaped too — a typo'd or stale id
@@ -296,13 +297,34 @@ object AnnIndex {
       "duplicate query ids in the external batch")
   }
 
+  /** Probe derivation for the LSH batch surfaces. `extraProbes` > 0
+    * turns on multi-probe (Lv et al., VLDB'07 — see
+    * [[AnnOps.lshCodeMargins]]): per (query, table), besides the base
+    * bucket, probe the buckets reached by flipping the `extraProbes`
+    * smallest-|margin| bits — the recall dial that does NOT grow the
+    * index (IVF's equivalent dial is nprobe). Ties in margin break by
+    * bit index, so the probe set is deterministic; the set at m+1
+    * strictly contains the set at m, which makes per-rank distances
+    * monotonically non-increasing in m (spec-gated). extraProbes = 0
+    * is bit-identical to the pre-multiprobe path (base buckets only,
+    * same coder).
+    */
   private def lshVecs(spark: SparkSession, indexDir: String, sfDir: String,
-      m: AnnMeta, qvecs: Array[(Long, Array[Double])], k: Int): DataFrame = {
+      m: AnnMeta, qvecs: Array[(Long, Array[Double])], k: Int,
+      extraProbes: Int = 0): DataFrame = {
+    require(extraProbes >= 0 && extraProbes <= m.nbits,
+      s"extraProbes must be in [0, nbits=${m.nbits}], got $extraProbes")
     val planes = AnnOps.planeMatrix(m.tables, m.nbits, m.dim)
     val qBuckets = qvecs.flatMap { case (id, ea) =>
-      (0 until m.tables).map(t =>
-        (id, if (ea.length == m.dim) AnnOps.lshCodeFast(ea, planes, t)
-             else AnnOps.lshCode(ea.toSeq, t, m.nbits)))
+      (0 until m.tables).flatMap { t =>
+        if (ea.length == m.dim) {
+          val (base, margins) = AnnOps.lshCodeMargins(ea, planes, t)
+          val flips = if (extraProbes == 0) Seq.empty[Long]
+            else margins.zipWithIndex.sortBy { case (mg, j) => (mg, j) }
+              .take(extraProbes).map { case (_, j) => base ^ (1L << j) }.toSeq
+          (base +: flips).map((id, _))
+        } else Seq((id, AnnOps.lshCode(ea.toSeq, t, m.nbits)))
+      }
     }
     batchFromProbe(spark, AnnPaths(indexDir), m, sfDir, qBuckets.toIndexedSeq,
       qvecs.map { case (id, e) => (id, e.toSeq: Seq[Double]) }, k)
@@ -601,6 +623,70 @@ object AnnIndex {
       graft.operators.StreamingOps.localized(
         searchIvfAll(spark, idx, sfDir, k, nprobe = math.max(1, m.nlist)))
     } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
+  /** The pinned corpus ids the q50 multiprobe batch searches — 25 ids
+    * that exist at every driver fixture scale (max 168 < 500 = sf0.001
+    * n), stride 7 so they spread across shards/buckets. Shared between
+    * the registry entry and its DuckDB oracle; a drifted literal on
+    * either side fails the hash gate.
+    */
+  val MultiprobeQueryIds: Seq[Long] = (0 until 25).map(_ * 7L)
+
+  /** Registry entry (q50): persisted LSH index probed MULTI-PROBE
+    * (extraProbes = 2) for a pinned 25-id batch. The full chain —
+    * coding, build-side cap, per-(query, table) margin ranking, bit
+    * flips, pruned probe, exact rescore, (dist, nbr) tie rule — sits
+    * under [[graft.operators.AnnOps.lshMultiprobeOracleSql]]'s DuckDB
+    * replica, so the multiprobe dial is value-oracled like the rest of
+    * the LSH family (not merely recall-gated).
+    */
+  def lshMultiprobePersistedOnCorpus(spark: SparkSession, sfDir: String,
+      k: Int = 5, extraProbes: Int = 2): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-mpidx-").toString
+    try {
+      buildLsh(spark, sfDir, idx)
+      graft.operators.StreamingOps.localized(
+        searchLshBatch(spark, idx, sfDir, MultiprobeQueryIds, k, extraProbes))
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
+  /** `optimize_index!` on the multiprobe dial: recall/cost ladder over
+    * extraProbes for a fixed batch against the exact gold — the LSH
+    * analog of the IVF nprobe ladder (cost = probed buckets per table,
+    * (1+m)/(1+nbits), the same probes-as-cost normalization). Gold is
+    * O(n²): fixture/sample scale only, like every tuner in the family.
+    */
+  def evalLshProbeLadder(spark: SparkSession, indexDir: String, sfDir: String,
+      queryIds: Seq[Long], k: Int = 5): Seq[AnnOps.IvfConfig] = {
+    val m = readMeta(spark, indexDir)
+    requireKind(m, "lsh", "evalLshProbeLadder")
+    VectorOps.guardExact(spark, VectorOps.embCount(spark, sfDir))
+    val gold = VectorOps.allKnn(spark, sfDir, k)
+      .filter(col("vec_id").isin(queryIds: _*)).cache()
+    val ladder = (Seq(0) ++ Iterator.iterate(1)(_ * 2).takeWhile(_ < m.nbits)
+      .toSeq :+ m.nbits).distinct
+    val out = ladder.map { mp =>
+      val got = searchLshBatch(spark, indexDir, sfDir, queryIds, k, mp).cache()
+      val r = AnnOps.macrorecall(gold, got, k)
+      val radius = got.groupBy("vec_id").agg(max("dist").as("cov"))
+        .agg(avg("cov")).head().getDouble(0)
+      got.unpersist()
+      AnnOps.IvfConfig(mp, r, (1.0 + mp) / (1.0 + m.nbits), radius)
+    }
+    gold.unpersist()
+    out
+  }
+
+  /** MinRecall over the multiprobe ladder: the smallest extraProbes
+    * meeting the target (the shared goal loss breaks ties cheap-first).
+    */
+  def tunedLshProbes(spark: SparkSession, indexDir: String, sfDir: String,
+      queryIds: Seq[Long], k: Int = 5, target: Double = 0.9): (Int, Double) = {
+    val cfg = AnnOps.chooseConfig(
+      evalLshProbeLadder(spark, indexDir, sfDir, queryIds, k),
+      AnnOps.MinRecallGoal(target))
+    (cfg.nprobe, cfg.recall)
   }
 
   /** `optimize_index!` on the quantization dial: build one throwaway

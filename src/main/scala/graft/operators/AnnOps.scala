@@ -73,6 +73,34 @@ object AnnOps {
     (table.toLong << 32) | code
   }
 
+  /** [[lshCodeFast]] plus the per-bit margins |dot(q, plane)| — the
+    * multi-probe input (Lv et al., VLDB'07, adapted to sign LSH): a
+    * query lying CLOSE to hyperplane j very nearly landed in the
+    * bucket with bit j flipped, so `bucket ^ (1 << j)` for the
+    * smallest-margin bits are the highest-probability extra buckets to
+    * probe — recall per table rises without growing the table count
+    * (the index stays the same size; only the batch's probe set
+    * widens). The margins are a by-product of the dots lshCodeFast
+    * already computes, so the base bucket stays bit-identical.
+    */
+  private[graft] def lshCodeMargins(e: Array[Double],
+      planes: Array[Array[Array[Double]]], table: Int): (Long, Array[Double]) = {
+    val pt = planes(table)
+    val margins = new Array[Double](pt.length)
+    var code = 0L
+    var j = 0
+    while (j < pt.length) {
+      val pj = pt(j)
+      var dot = 0.0
+      var i = 0
+      while (i < e.length) { dot += e(i) * pj(i); i += 1 }
+      if (dot > 0) code |= (1L << j)
+      margins(j) = math.abs(dot)
+      j += 1
+    }
+    ((table.toLong << 32) | code, margins)
+  }
+
   /** Mean bucket occupancy the code width is derived for: nbits =
     * clamp(⌈log2(n / TargetBucket)⌉, 4, 24), so buckets hold ~32
     * vectors NO MATTER the corpus size — at n=500 that is 4 bits (16
@@ -493,6 +521,59 @@ object AnnOps {
     s"""WITH ${lshCodesSql()}, cand AS (
        |  SELECT DISTINCT c.vec_id AS q_id, x.vec_id AS nbr_id
        |  FROM codes c JOIN capped x USING (bucket)
+       |), scored AS (
+       |  SELECT cand.q_id, cand.nbr_id,
+       |         round(1.0 - list_dot_product(a.emb, b.emb), 4) + 0.0 AS dist
+       |  FROM cand JOIN e a ON a.vec_id = cand.q_id
+       |            JOIN e b ON b.vec_id = cand.nbr_id
+       |), ranked AS (
+       |  SELECT CAST(q_id AS BIGINT) AS vec_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, nbr_id ASC) AS INTEGER) AS rnk,
+       |         CAST(nbr_id AS BIGINT) AS nbr_id, CAST(dist AS DOUBLE) AS dist
+       |  FROM scored
+       |)
+       |SELECT vec_id, rnk, nbr_id, dist FROM ranked WHERE rnk <= $k
+       |ORDER BY vec_id, rnk""".stripMargin
+
+  /** q50 oracle: the persisted-index MULTIPROBE batch
+    * ([[graft.index.AnnIndex.searchLshBatch]] with extraProbes = mp)
+    * replayed end-to-end in DuckDB. On top of [[lshCodesSql]]'s chain:
+    * per-(query, table) bit margins |dot(q, plane)| (`bitdots` keeps
+    * the per-bit dots the corpus `codes` CTE aggregates away), the mp
+    * smallest-margin bits ranked by (|dot|, j) — float comparisons on
+    * bit-identical doubles, so the ranking cannot diverge — each
+    * flipping one code bit of the base bucket (`xor(bucket, 1 << j)`;
+    * j < 24 < 32 never touches the table tag), probe = base ∪ flips,
+    * candidates = probe × the SAME capped corpus side the index stores,
+    * exact rescore, (dist, nbr) tie rule.
+    */
+  def lshMultiprobeOracleSql(ids: Seq[Long], k: Int = 5, mp: Int = 2): String =
+    s"""WITH ${lshCodesSql()}, q AS (
+       |  SELECT vec_id, emb FROM e WHERE vec_id IN (${ids.mkString(", ")})
+       |), bitdots AS (
+       |  SELECT q.vec_id, p.t, p.j, list_dot_product(q.emb, p.pl) AS dot
+       |  FROM q, plist p
+       |), qcodes AS (
+       |  SELECT vec_id, t,
+       |         CAST(t AS BIGINT) * 4294967296
+       |           + CAST(sum(CASE WHEN dot > 0
+       |                           THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM bitdots GROUP BY vec_id, t
+       |), flips AS (
+       |  SELECT b.vec_id, xor(qc.bucket, CAST(1 AS BIGINT) << b.j) AS bucket
+       |  FROM (SELECT vec_id, t, j,
+       |               row_number() OVER (PARTITION BY vec_id, t
+       |                                  ORDER BY abs(dot) ASC, j ASC) AS rn
+       |        FROM bitdots) b
+       |  JOIN qcodes qc ON qc.vec_id = b.vec_id AND qc.t = b.t
+       |  WHERE b.rn <= $mp
+       |), probe AS (
+       |  SELECT vec_id, bucket FROM qcodes
+       |  UNION
+       |  SELECT vec_id, bucket FROM flips
+       |), cand AS (
+       |  SELECT DISTINCT probe.vec_id AS q_id, x.vec_id AS nbr_id
+       |  FROM probe JOIN capped x USING (bucket)
        |), scored AS (
        |  SELECT cand.q_id, cand.nbr_id,
        |         round(1.0 - list_dot_product(a.emb, b.emb), 4) + 0.0 AS dist

@@ -60,7 +60,8 @@ object Registry {
     "q46_searchbatch_external" -> ((s, dir) => graft.operators.VectorOps.searchBatchOnCorpus(s, dir)),
     "q47_ivf_f64_persisted" -> ((s, dir) => graft.index.AnnIndex.ivfF64PersistedOnCorpus(s, dir)),
     "q48_closestpair_lsh" -> ((s, dir) => graft.operators.AnnOps.closestPairLsh(s, dir)),
-    "q49_neardup_lsh" -> ((s, dir) => graft.operators.AnnOps.nearDupLsh(s, dir))
+    "q49_neardup_lsh" -> ((s, dir) => graft.operators.AnnOps.nearDupLsh(s, dir)),
+    "q50_lsh_multiprobe" -> ((s, dir) => graft.index.AnnIndex.lshMultiprobePersistedOnCorpus(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -137,6 +138,10 @@ object Registry {
     // (data-independent; the specs additionally assert closestPairLsh
     // finds the TRUE closest pair on the fixtures)
     "q48_closestpair_lsh" -> graft.operators.AnnOps.closestPairLshOracleSql,
-    "q49_neardup_lsh" -> graft.operators.AnnOps.nearDupLshOracleSql()
+    "q49_neardup_lsh" -> graft.operators.AnnOps.nearDupLshOracleSql(),
+    // the multiprobe dial under the same bit-exact pipeline gate:
+    // margins, bit flips, probe union, capped candidates, rescore
+    "q50_lsh_multiprobe" -> graft.operators.AnnOps.lshMultiprobeOracleSql(
+      graft.index.AnnIndex.MultiprobeQueryIds)
   )
 }

@@ -291,6 +291,43 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally graft.operators.StreamingOps.deleteRec(idx)
   }
 
+  test("multiprobe: extraProbes=0 ≡ base path; per-rank dists never worsen; recall ladder monotone; tuner minimal") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val idx = tmp()
+    try {
+      val m = AnnIndex.buildLsh(spark, dir, idx)
+      val ids = AnnIndex.MultiprobeQueryIds
+      // m=0 is the pre-multiprobe path bit-for-bit (base buckets only)
+      val base = AnnIndex.searchLshBatch(spark, idx, dir, ids, k)
+      assert(rows(AnnIndex.searchLshBatch(spark, idx, dir, ids, k, extraProbes = 0))
+        == rows(base))
+      // probe sets grow with m, so the rank-r distance can only improve
+      // (same tie rule both sides; a worse dist at any rank means a
+      // candidate was LOST, which multiprobe cannot do)
+      val mp = AnnIndex.searchLshBatch(spark, idx, dir, ids, k, extraProbes = 2)
+      val worse = base.select(col("vec_id"), col("rnk"), col("dist").as("d0"))
+        .join(mp.select(col("vec_id"), col("rnk"), col("dist").as("d2")),
+          Seq("vec_id", "rnk"))
+        .filter(col("d2") > col("d0")).count()
+      assert(worse == 0, s"$worse (vec_id, rnk) rows got WORSE under multiprobe")
+      // recall vs exact gold is non-decreasing along the whole ladder
+      val ladder = AnnIndex.evalLshProbeLadder(spark, idx, dir, ids, k)
+      info(ladder.map(c => f"m=${c.nprobe} recall=${c.recall}%.3f").mkString(", "))
+      assert(ladder.map(_.recall).sliding(2)
+        .forall(p => p.head <= p.last + 1e-12), s"recall ladder not monotone: $ladder")
+      // MinRecall tuner picks the SMALLEST m meeting the target
+      val target = 0.9
+      val (mBest, rBest) = AnnIndex.tunedLshProbes(spark, idx, dir, ids, k, target)
+      assert(rBest >= target)
+      assert(!ladder.exists(c => c.nprobe < mBest && c.recall >= target),
+        s"a cheaper rung than m=$mBest already meets $target")
+      // out-of-range dials fail loudly
+      intercept[IllegalArgumentException](
+        AnnIndex.searchLshBatch(spark, idx, dir, ids, k, extraProbes = m.nbits + 1))
+    } finally graft.operators.StreamingOps.deleteRec(idx)
+  }
+
   test("empty corpus: build commits a readable index; searches return empty") {
     val spark = TestSpark.spark
     import spark.implicits._
