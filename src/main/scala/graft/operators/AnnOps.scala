@@ -535,6 +535,57 @@ object AnnOps {
        |SELECT vec_id, rnk, nbr_id, dist FROM ranked WHERE rnk <= $k
        |ORDER BY vec_id, rnk""".stripMargin
 
+  /** q22 oracle: the ENTIRE inline IVF pipeline in DuckDB — center
+    * training (the q07 farthest-first chain, [[CentersOps.fftChainCte]];
+    * valid because the registry's q22 pins sampleFactor high enough
+    * that fftSampled's stride is 1 at every fixture scale, where the
+    * full-sample selection ≡ fft by the AnnSpec identity), cell
+    * assignment (rank-1 nearest center, (dist, cell) tie rule — the
+    * fused kernel's pinned heap rule), per-query probe set (the
+    * nprobe nearest cells, same ranking), candidate join on shared
+    * cells, exact rescore, (dist, nbr) final rank. This retires the
+    * last ORACLE-ABLE `no_oracle`: the IVF candidate space is
+    * deterministic given the pinned dials, so — like the LSH family in
+    * this round — value identity is checkable, not just recall.
+    * Requires the registry entry to pin (nlist, nprobe): the unroll
+    * count is baked into the SQL string, so a corpus-derived nlist
+    * cannot share one static oracle (the derived-dial path stays
+    * recall-gated in AnnSpec).
+    */
+  def ivfOracleSql(k: Int = 5, nlist: Int = 16, nprobe: Int = 8): String =
+    s"""WITH ${CentersOps.fftChainCte(nlist)}, fftc AS (
+       |  SELECT CAST(0 AS BIGINT) AS cell
+       |  ${(2 to nlist).map(i => s"UNION ALL SELECT CAST(vec_id AS BIGINT) FROM c$i").mkString("\n  ")}
+       |), cemb AS (
+       |  SELECT f.cell, e.emb AS cvec FROM fftc f JOIN e ON e.vec_id = f.cell
+       |), cellrank AS (
+       |  SELECT vec_id, cell,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY dist ASC, cell ASC) AS rn
+       |  FROM (SELECT e.vec_id, c.cell,
+       |               round(1.0 - list_dot_product(e.emb, c.cvec), 4) + 0.0 AS dist
+       |        FROM e, cemb c)
+       |), assigned AS (
+       |  SELECT vec_id, cell FROM cellrank WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, cell FROM cellrank WHERE rn <= $nprobe
+       |), cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS nbr_id
+       |  FROM probes p JOIN assigned a USING (cell)
+       |), scored AS (
+       |  SELECT cand.q_id, cand.nbr_id,
+       |         round(1.0 - list_dot_product(a.emb, b.emb), 4) + 0.0 AS dist
+       |  FROM cand JOIN e a ON a.vec_id = cand.q_id
+       |            JOIN e b ON b.vec_id = cand.nbr_id
+       |), ranked AS (
+       |  SELECT CAST(q_id AS BIGINT) AS vec_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, nbr_id ASC) AS INTEGER) AS rnk,
+       |         CAST(nbr_id AS BIGINT) AS nbr_id, CAST(dist AS DOUBLE) AS dist
+       |  FROM scored
+       |)
+       |SELECT vec_id, rnk, nbr_id, dist FROM ranked WHERE rnk <= $k
+       |ORDER BY vec_id, rnk""".stripMargin
+
   /** q50 oracle: the persisted-index MULTIPROBE batch
     * ([[graft.index.AnnIndex.searchLshBatch]] with extraProbes = mp)
     * replayed end-to-end in DuckDB. On top of [[lshCodesSql]]'s chain:

@@ -166,28 +166,48 @@ object CentersOps {
     */
   def fftOracleSql(k: Int = 8): String = {
     val sb = new StringBuilder
+    sb.append("WITH ").append(fftChainCte(k))
+    sb.append("\nSELECT CAST(1 AS INTEGER) AS rnk, CAST(0 AS BIGINT) AS center_id, CAST(0.0 AS DOUBLE) AS sel_dist")
+    for (i <- 2 to k)
+      sb.append(s"\nUNION ALL SELECT CAST($i AS INTEGER), CAST(vec_id AS BIGINT), CAST(nd AS DOUBLE) FROM c$i")
+    sb.append("\nORDER BY rnk")
+    sb.toString
+  }
+
+  /** The farthest-first selection as a k-step unrolled CTE chain —
+    * shared by [[fftOracleSql]] (q07) and the IVF pipeline oracle
+    * ([[AnnOps.ivfOracleSql]], q22). Defines `e(vec_id, emb)`,
+    * `d1..d(k-1)` (running nearest-center distance) and `c2..ck` (the
+    * i-th selected center); center 1 is vec_id 0 (the smallest fixture
+    * id — fftSampled's sorted-sample seed ≡ fft's pinned 0L). Rounded
+    * distances + the (nd DESC, vec_id ASC) pick replay the driver
+    * loop's rule exactly.
+    */
+  private[operators] def fftChainCte(k: Int): String = {
+    // every chain CTE MATERIALIZED: c_i is referenced by d_i AND the
+    // final consumer, d_i by c_(i+1) AND d_(i+1) — inlined, each
+    // reference re-evaluates the whole prefix, i.e. 2^k evaluations of
+    // d1 (measured: k=8 tolerable, k=16 = minutes + fd exhaustion from
+    // re-opened parquet scans; materialized, k=16 runs in ~1 s)
+    val sb = new StringBuilder
     sb.append(
-      """WITH e AS (
+      """e AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-        |), d1 AS (
+        |), d1 AS MATERIALIZED (
         |  SELECT e.vec_id, round(1.0 - list_dot_product(e.emb, c.emb), 4) + 0.0 AS nd
         |  FROM e, (SELECT emb FROM e WHERE vec_id = 0) c
         |)""".stripMargin)
     for (i <- 2 to k) {
-      sb.append(s""", c$i AS (
+      sb.append(s""", c$i AS MATERIALIZED (
         |  SELECT vec_id, nd FROM d${i - 1} ORDER BY nd DESC, vec_id ASC LIMIT 1
         |)""".stripMargin)
-      if (i < k) sb.append(s""", d$i AS (
+      if (i < k) sb.append(s""", d$i AS MATERIALIZED (
         |  SELECT d.vec_id,
         |         least(d.nd, round(1.0 - list_dot_product(e.emb, c.emb), 4) + 0.0) AS nd
         |  FROM d${i - 1} d JOIN e USING (vec_id),
         |       (SELECT e.emb FROM e JOIN c$i ON e.vec_id = c$i.vec_id) c
         |)""".stripMargin)
     }
-    sb.append("\nSELECT CAST(1 AS INTEGER) AS rnk, CAST(0 AS BIGINT) AS center_id, CAST(0.0 AS DOUBLE) AS sel_dist")
-    for (i <- 2 to k)
-      sb.append(s"\nUNION ALL SELECT CAST($i AS INTEGER), CAST(vec_id AS BIGINT), CAST(nd AS DOUBLE) FROM c$i")
-    sb.append("\nORDER BY rnk")
     sb.toString
   }
 

@@ -33,7 +33,14 @@ object Registry {
     "q19_fingerprint" -> ((s, dir) => graft.operators.TextOps.fingerprint(s, dir)),
     "q20_postings_export" -> ((s, dir) => graft.operators.IndexExport.postingsExport(s, dir)),
     "q21_ann_lsh" -> ((s, dir) => graft.operators.AnnOps.annLsh(s, dir)),
-    "q22_ann_ivf" -> ((s, dir) => graft.operators.AnnOps.annIvf(s, dir)),
+    // dials pinned (nlist=16, nprobe=8, sample covers every fixture
+    // corpus) so the whole pipeline sits under a STATIC DuckDB oracle
+    // — the fft unroll count is baked into the SQL, so the
+    // corpus-derived-nlist form cannot share it (that path stays
+    // recall-gated in AnnSpec, which runs annIvf with derived dials)
+    "q22_ann_ivf" -> ((s, dir) =>
+      graft.operators.AnnOps.annIvf(s, dir, 5, nlist = 16, nprobe = 8,
+        sampleFactor = 4096)),
     "q23_multimodal_meta" -> ((s, dir) => graft.operators.MultimodalOps.mediaMeta(s, dir)),
     "q24_events_window" -> ((s, dir) => graft.operators.StreamingOps.windowedEventCounts(s, dir)),
     "q25_permuted_knn" -> ((s, dir) => graft.operators.IndexExport.permutedAllKnn(s, dir)),
@@ -90,6 +97,9 @@ object Registry {
     // candidates → exact rescore) expressed in DuckDB SQL — the inline
     // ANN operator under the driver's bit-exact hash gate
     "q21_ann_lsh" -> graft.operators.AnnOps.annLshOracleSql(),
+    // the full IVF pipeline (fft training → cell assignment → nprobe
+    // probe → rescore) at the entry's pinned dials
+    "q22_ann_ivf" -> graft.operators.AnnOps.ivfOracleSql(),
     "q23_multimodal_meta" -> graft.operators.MultimodalOps.mediaMetaOracleSql,
     "q24_events_window" -> graft.operators.StreamingOps.windowedEventCountsOracleSql,
     "q25_permuted_knn" -> graft.operators.VectorOps.allKnnOracleSql(3),
