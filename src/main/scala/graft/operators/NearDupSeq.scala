@@ -110,4 +110,85 @@ object NearDupSeq {
         round(col("dist"), 4).cast("double").as("dist"))
       .orderBy("vec_id")
   }
+
+  /** DuckDB oracle for [[nearDupSeq]]: the order-sequential acceptance
+    * loop as a RECURSIVE CTE stepping one id per iteration. The state
+    * row carries the accepted centers as two LIST columns — `prior`
+    * (centers from earlier blocks) and `blk` (centers accepted earlier
+    * in the current block) — and each iteration emits its acceptance
+    * decision as scalar columns, so the final result is the union of
+    * all iterations (no O(n) result list copied through the state).
+    * Block boundaries fold `blk` into `prior` every `blockSize` ids,
+    * reproducing the two-tier coverage rule (prior-block centers win
+    * over intra-block centers regardless of distance); nearest-center
+    * ties break on (dist, id) via `list_sort` over (d, id) structs,
+    * the same lexicographic rule as the Spark `min_by` struct and the
+    * intra-block scan. Distance is the shared rounding-grid cosine
+    * (`round(1 - dot, 4) + 0.0`, q06's proven idiom). Recursion depth
+    * is maxId − minId + 1 — bounded by the fixture id range, which is
+    * exactly why the driver gates at sf0.01 while the 10^12-doc scale
+    * path remains LSH (q14).
+    *
+    * `filterBlocks=false` (the reference's `filterblocks` keyword,
+    * exercised at /root/reference/test/testneardup.jl:5-56) skips the
+    * intra-block coverage check — here, `bcov` becomes a statically
+    * empty list so every prior-uncovered candidate is accepted.
+    */
+  def nearDupSeqOracleSql(eps: Double = 0.65, blockSize: Int = 128,
+      filterBlocks: Boolean = true): String = {
+    val bcov =
+      if (filterBlocks)
+        s"""list_sort(list_filter(list_transform(eff.eff_blk,
+           |        c -> {'d': round(1.0 - list_dot_product(cur.emb, c.emb), 4) + 0.0, 'id': c.id}),
+           |        x -> x.d <= $eps))""".stripMargin
+      else "CAST([] AS STRUCT(d DOUBLE, id BIGINT)[])"
+    s"""WITH RECURSIVE
+       |e AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings
+       |),
+       |b AS (SELECT min(vec_id) AS min_id, max(vec_id) AS max_id FROM e),
+       |st AS (
+       |  SELECT (SELECT min_id FROM b) AS pos,
+       |         CAST([] AS STRUCT(id BIGINT, emb DOUBLE[])[]) AS prior,
+       |         CAST([] AS STRUCT(id BIGINT, emb DOUBLE[])[]) AS blk,
+       |         CAST(NULL AS BIGINT) AS r_vec_id,
+       |         CAST(NULL AS BIGINT) AS r_nn,
+       |         CAST(NULL AS DOUBLE) AS r_dist
+       |  UNION ALL
+       |  SELECT s.pos + 1,
+       |    eff.eff_prior AS prior,
+       |    CASE WHEN cur.vec_id IS NOT NULL AND len(cov.pcov) = 0 AND len(cov.bcov) = 0
+       |         THEN list_append(eff.eff_blk, {'id': cur.vec_id, 'emb': cur.emb})
+       |         ELSE eff.eff_blk END AS blk,
+       |    cur.vec_id AS r_vec_id,
+       |    CASE WHEN cur.vec_id IS NULL THEN NULL
+       |         WHEN len(cov.pcov) > 0 THEN cov.pcov[1].id
+       |         WHEN len(cov.bcov) > 0 THEN cov.bcov[1].id
+       |         ELSE cur.vec_id END AS r_nn,
+       |    CASE WHEN cur.vec_id IS NULL THEN NULL
+       |         WHEN len(cov.pcov) > 0 THEN cov.pcov[1].d
+       |         WHEN len(cov.bcov) > 0 THEN cov.bcov[1].d
+       |         ELSE 0.0 END AS r_dist
+       |  FROM st s
+       |  LEFT JOIN e cur ON cur.vec_id = s.pos,
+       |  LATERAL (SELECT
+       |      CASE WHEN (s.pos - (SELECT min_id FROM b)) % $blockSize = 0
+       |           THEN list_concat(s.prior, s.blk) ELSE s.prior END AS eff_prior,
+       |      CASE WHEN (s.pos - (SELECT min_id FROM b)) % $blockSize = 0
+       |           THEN CAST([] AS STRUCT(id BIGINT, emb DOUBLE[])[]) ELSE s.blk END AS eff_blk
+       |  ) eff,
+       |  LATERAL (SELECT
+       |      list_sort(list_filter(list_transform(eff.eff_prior,
+       |        c -> {'d': round(1.0 - list_dot_product(cur.emb, c.emb), 4) + 0.0, 'id': c.id}),
+       |        x -> x.d <= $eps)) AS pcov,
+       |      $bcov AS bcov
+       |  ) cov
+       |  WHERE s.pos <= (SELECT max_id FROM b)
+       |)
+       |SELECT CAST(r_vec_id AS BIGINT) AS vec_id, CAST(r_nn AS BIGINT) AS nn,
+       |       CAST(round(r_dist, 4) AS DOUBLE) AS dist
+       |FROM st WHERE r_vec_id IS NOT NULL
+       |ORDER BY vec_id""".stripMargin
+  }
 }

@@ -285,6 +285,117 @@ object StreamingOps {
     finally deleteRec(stageDir.toString, outDir, ckDir)
   }
 
+  final case class DedupRow(doc_id: Long, canonical_id: Long, kept: Int)
+
+  /** First-arrival representative for one content hash, held in
+    * `GroupState` across micro-batches AND across checkpoint-resumed
+    * runs.
+    */
+  final case class SeenHash(rep: Long)
+
+  /** Per-batch dedup transition: the first batch that carries a hash
+    * elects its min doc_id as the canonical representative (emitted
+    * with kept=1); every other arrival of that hash — later in the
+    * same batch, a later batch, or a later checkpoint-resumed run —
+    * is emitted as a drop decision (kept=0) pointing at the stored
+    * representative. No timeout: dedup state is permanent by design
+    * (a production ingest would TTL it; fixture scale keeps it all).
+    */
+  private[operators] def dedupStep(h: String, it: Iterator[(String, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[SeenHash]): Iterator[DedupRow] = {
+    val ids = it.map(_._2).toArray.sorted
+    state.getOption match {
+      case Some(s) => ids.iterator.map(id => DedupRow(id, s.rep, 0))
+      case None if ids.isEmpty => Iterator.empty
+      case None =>
+        val rep = ids.head
+        state.update(SeenHash(rep))
+        Iterator.single(DedupRow(rep, rep, 1)) ++
+          ids.iterator.drop(1).map(id => DedupRow(id, rep, 0))
+    }
+  }
+
+  /** One AvailableNow dedup run over the files in `stageDir`, resumed
+    * from `ckDir` — composed by the registry query and by the
+    * 2-batch ≡ 1-batch spec.
+    */
+  private[graft] def streamDedupRun(spark: SparkSession, stageDir: String,
+      outDir: String, ckDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import spark.implicits._
+    val docs = spark.readStream.schema(schema).parquet(stageDir)
+      .select(md5(col("text")).as("h"), col("doc_id").cast("long"))
+      .as[(String, Long)]
+    val decisions = docs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(dedupStep)
+    val q = decisions.writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Streaming dedup-on-ingest — the keep/drop decision stream a
+    * training-data pipeline applies at ingest time, as stateful
+    * streaming (`flatMapGroupsWithState` keyed by content hash, state
+    * = first-arrival canonical id). Registry form: run 1 ingests the
+    * fixture (single-batch, so canonical = min doc_id per hash — the
+    * q12 batch semantics); then the min-id document RE-ARRIVES under a
+    * fresh doc_id (max+1) and run 2, a NEW query resumed from the same
+    * checkpoint, emits the drop decision (kept=0, canonical = the
+    * run-1 representative) — cross-run dedup state proven inside the
+    * oracled output itself. Semantics divergence from batch q12 is
+    * first-arrival-wins: a hash's canonical is the min doc_id of the
+    * EARLIEST batch carrying it (equal to the global min when batches
+    * arrive in id order, as here and in the spec's 2-batch split).
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamConf(spark)(streamDedupImpl(spark, sfDir))
+
+  private def streamDedupImpl(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-dedup-")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      stageDir.resolve("documents.parquet"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dedup-sink-").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-dedup-ck-").toString
+    def run(): Unit = streamDedupRun(spark, stageDir.toString, outDir, ckDir, schema)
+    run()
+    // the min-id document re-arrives as a new ingest file under doc_id
+    // max+1 — run 2 must recognize it from checkpointed state
+    val bounds = spark.read.parquet(path)
+      .agg(min("doc_id").cast("long"), max("doc_id").cast("long")).head()
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    spark.read.parquet(path).filter(col("doc_id") === minId)
+      .withColumn("doc_id", lit(maxId + 1).cast(schema("doc_id").dataType))
+      .write.mode("append").parquet(stageDir.toString)
+    run()
+    try localized(
+      spark.read.parquet(outDir)
+        .select(col("doc_id").cast("long"), col("canonical_id").cast("long"),
+          col("kept").cast("int"))
+        .orderBy("doc_id"))
+    finally deleteRec(stageDir.toString, outDir, ckDir)
+  }
+
+  val streamDedupOracleSql: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |c AS (SELECT h, min(doc_id) AS canonical_id FROM d GROUP BY h)
+      |SELECT doc_id, canonical_id, kept FROM (
+      |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+      |         CAST(c.canonical_id AS BIGINT) AS canonical_id,
+      |         CAST(CASE WHEN d.doc_id = c.canonical_id THEN 1 ELSE 0 END AS INT) AS kept
+      |  FROM d JOIN c USING (h)
+      |  UNION ALL
+      |  SELECT CAST((SELECT max(doc_id) + 1 FROM documents) AS BIGINT),
+      |         CAST((SELECT min(doc_id) FROM documents) AS BIGINT),
+      |         CAST(0 AS INT)
+      |) ORDER BY doc_id""".stripMargin
+
   val sessionizeOracleSql: String =
     """WITH e AS (
       |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS ts_us,

@@ -68,7 +68,15 @@ object Registry {
     "q47_ivf_f64_persisted" -> ((s, dir) => graft.index.AnnIndex.ivfF64PersistedOnCorpus(s, dir)),
     "q48_closestpair_lsh" -> ((s, dir) => graft.operators.AnnOps.closestPairLsh(s, dir)),
     "q49_neardup_lsh" -> ((s, dir) => graft.operators.AnnOps.nearDupLsh(s, dir)),
-    "q50_lsh_multiprobe" -> ((s, dir) => graft.index.AnnIndex.lshMultiprobePersistedOnCorpus(s, dir))
+    "q50_lsh_multiprobe" -> ((s, dir) => graft.index.AnnIndex.lshMultiprobePersistedOnCorpus(s, dir)),
+    // the reference's filterblocks=false config (testneardup.jl:5-56):
+    // intra-block coverage skipped, every prior-uncovered candidate
+    // becomes a center
+    "q51_neardup_seq_nofilter" -> ((s, dir) =>
+      graft.operators.NearDupSeq.nearDupSeq(s, dir, filterBlocks = false)),
+    // streaming dedup-on-ingest: stateful first-arrival keep/drop
+    // decisions, checkpoint-resumed across two AvailableNow runs
+    "q52_stream_dedup" -> ((s, dir) => graft.operators.StreamingOps.streamDedup(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -83,6 +91,10 @@ object Registry {
     "q08_distsample" -> graft.operators.VectorOps.distSampleOracleSql,
     "q09_hsp" -> graft.operators.CentersOps.hspOracleSql(),
     "q10_rerank" -> graft.operators.VectorOps.rerankOracleSql(),
+    // the order-sequential acceptance loop as a DuckDB RECURSIVE CTE
+    // (list-typed centers state, one id per iteration) — the last
+    // spec-only query joins the hash gate
+    "q11_neardup_seq" -> graft.operators.NearDupSeq.nearDupSeqOracleSql(),
     "q12_dedup_exact" -> graft.operators.TextOps.dedupExactOracleSql,
     "q13_jaccard_pairs" -> graft.operators.TextOps.jaccardPairsOracleSql(),
     // minhash banding is df-blind, so its gate is the UNCAPPED exact set
@@ -152,6 +164,9 @@ object Registry {
     // the multiprobe dial under the same bit-exact pipeline gate:
     // margins, bit flips, probe union, capped candidates, rescore
     "q50_lsh_multiprobe" -> graft.operators.AnnOps.lshMultiprobeOracleSql(
-      graft.index.AnnIndex.MultiprobeQueryIds)
+      graft.index.AnnIndex.MultiprobeQueryIds),
+    "q51_neardup_seq_nofilter" ->
+      graft.operators.NearDupSeq.nearDupSeqOracleSql(filterBlocks = false),
+    "q52_stream_dedup" -> graft.operators.StreamingOps.streamDedupOracleSql
   )
 }

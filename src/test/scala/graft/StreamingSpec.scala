@@ -71,4 +71,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(twoBatch == gold,
       s"2-batch != gold: extra=${twoBatch -- gold} missing=${gold -- twoBatch}")
   }
+
+  /** Streaming dedup state must survive micro-batch boundaries AND
+    * checkpoint-resumed runs: the same docs split id-ordered across
+    * two runs (batch 2 re-sends batch-1 content under new ids AND
+    * introduces a fresh hash) must produce exactly the single-batch
+    * decisions — and both must equal the hand-computed
+    * first-arrival gold.
+    */
+  test("streaming dedup: 2-run checkpoint-resumed ≡ 1-run ≡ gold") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val batch1 = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"))
+    val batch2 = Seq((4L, "bbb"), (5L, "ccc"), (6L, "ccc"), (7L, "aaa"))
+
+    def runScenario(batches: Seq[Seq[(Long, String)]]): Set[(Long, Long, Int)] = {
+      val stage = java.nio.file.Files.createTempDirectory("dedup-spec-stage-").toString
+      val out = java.nio.file.Files.createTempDirectory("dedup-spec-out-").toString
+      val ck = java.nio.file.Files.createTempDirectory("dedup-spec-ck-").toString
+      try {
+        batches.foreach { b =>
+          b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(stage)
+          val schema = spark.read.parquet(stage).schema
+          StreamingOps.streamDedupRun(spark, stage, out, ck, schema)
+        }
+        spark.read.parquet(out).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      } finally StreamingOps.deleteRec(stage, out, ck)
+    }
+
+    val gold = Set((1L, 1L, 1), (2L, 2L, 1), (3L, 1L, 0),
+      (4L, 2L, 0), (5L, 5L, 1), (6L, 5L, 0), (7L, 1L, 0))
+    val oneRun = runScenario(Seq(batch1 ++ batch2))
+    val twoRun = runScenario(Seq(batch1, batch2))
+    assert(oneRun == gold, s"1-run != gold: $oneRun")
+    assert(twoRun == gold,
+      s"2-run != gold: extra=${twoRun -- gold} missing=${gold -- twoRun}")
+  }
 }
