@@ -515,4 +515,83 @@ object TextOps {
       |       md5(array_to_string(list_sort(list_distinct(
       |         list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' ')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- dup clusters
+
+  /** Connected components over a near-dup pair graph: every document
+    * mapped to the min doc_id of its duplicate component (singletons
+    * map to themselves) — the cluster assignment a fuzzy-dedup
+    * pipeline groups by to pick one representative per duplicate set.
+    *
+    * Iterative min-label propagation: each round broadcasts the edge
+    * set (the VERIFIED near-dup pairs — tiny relative to the corpus;
+    * at 100 TB still only the duplicate pairs, not the corpus), joins
+    * it against the current labels, and takes the per-doc min over
+    * {own label} ∪ {neighbor labels}. Converges in O(component
+    * diameter) rounds — web duplicate clusters are shallow (most are
+    * 2–3 docs; the alternating large-star/small-star contraction is
+    * the documented upgrade if diameters ever grow). `localCheckpoint`
+    * cuts the per-round lineage so the plan does not deepen with the
+    * iteration count.
+    */
+  private[graft] def dupClustersFrom(allDocs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = broadcast(
+      pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+        .union(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+        .localCheckpoint())
+    var labels = allDocs.select(col("doc_id").cast("long"),
+      col("doc_id").cast("long").as("lbl")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("doc_id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
+  }
+
+  /** Registry form: components over the [[minhashLsh]] verified pairs
+    * (bucket → verify → cluster, the end-to-end fuzzy-dedup shape).
+    */
+  def dupClusters(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame =
+    dupClustersFrom(
+      docs(spark, sfDir).select(col("doc_id")),
+      minhashLsh(spark, sfDir, tau).select(col("a"), col("b")))
+
+  /** DuckDB oracle: the exact uncapped Jaccard pair set (the q14
+    * oracle's CTE chain, banding-blind like the MinHash gate) closed
+    * transitively by a recursive reachability CTE, min label per
+    * component.
+    */
+  def dupClustersOracleSql(tau: Double = 0.5): String =
+    s"""WITH RECURSIVE sh AS ($duckShinglesSql),
+       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |),
+       |pairs AS (
+       |  SELECT a, b,
+       |         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+       |         szA.n AS na, szB.n AS nb
+       |  FROM cands
+       |  JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+       |  JOIN sizes szA ON szA.doc_id = a JOIN sizes szB ON szB.doc_id = b
+       |),
+       |p AS (SELECT a, b FROM pairs WHERE round(inter / (na + nb - inter), 4) >= $tau),
+       |edges AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+       |d AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM d
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+       |)
+       |SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 }

@@ -76,7 +76,10 @@ object Registry {
       graft.operators.NearDupSeq.nearDupSeq(s, dir, filterBlocks = false)),
     // streaming dedup-on-ingest: stateful first-arrival keep/drop
     // decisions, checkpoint-resumed across two AvailableNow runs
-    "q52_stream_dedup" -> ((s, dir) => graft.operators.StreamingOps.streamDedup(s, dir))
+    "q52_stream_dedup" -> ((s, dir) => graft.operators.StreamingOps.streamDedup(s, dir)),
+    // fuzzy-dedup cluster assignment: connected components over the
+    // verified MinHash-LSH pairs via min-label propagation
+    "q53_dup_clusters" -> ((s, dir) => graft.operators.TextOps.dupClusters(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -167,6 +170,7 @@ object Registry {
       graft.index.AnnIndex.MultiprobeQueryIds),
     "q51_neardup_seq_nofilter" ->
       graft.operators.NearDupSeq.nearDupSeqOracleSql(filterBlocks = false),
-    "q52_stream_dedup" -> graft.operators.StreamingOps.streamDedupOracleSql
+    "q52_stream_dedup" -> graft.operators.StreamingOps.streamDedupOracleSql,
+    "q53_dup_clusters" -> graft.operators.TextOps.dupClustersOracleSql()
   )
 }

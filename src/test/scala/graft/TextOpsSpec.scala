@@ -90,4 +90,22 @@ class TextOpsSpec extends AnyFunSuite {
     val again = TextOps.langId(spark, dir)
     assert(li.except(again).count() == 0 && again.except(li).count() == 0)
   }
+
+  /** Min-label propagation must close chains transitively (diameter >
+    * 1 forces a second iteration), leave isolated docs as singleton
+    * clusters, and be insensitive to pair orientation.
+    */
+  test("dup clusters: transitive chain, singleton, orientation-blind") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (1L to 7L).toDF("doc_id")
+    // chain 5-3, 3-1 (min label 1 must travel 2 hops to 5); pair 6-2
+    // given in descending orientation; 4 and 7 isolated
+    val pairs = Seq((5L, 3L), (1L, 3L), (6L, 2L)).toDF("a", "b")
+    val got = TextOps.dupClustersFrom(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((1L, 1L), (3L, 1L), (5L, 1L), (2L, 2L), (6L, 2L),
+      (4L, 4L), (7L, 7L))
+    assert(got == want, s"got $got")
+  }
 }
