@@ -195,9 +195,16 @@ object Bench {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "scripts/bench_prev.json")
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) Map.empty
-    else """"([^"]+)"\s*:\s*([0-9.]+)""".r
-      .findAllMatchIn(java.nio.file.Files.readString(p))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    else {
+      // tolerate format drift (e.g. pointed at a sidecar whose values
+      // are objects): unparseable values are skipped, and the loaded
+      // count is logged so "check silently off" is visible in stderr
+      val m = """"([^"]+)"\s*:\s*([0-9.]+)""".r
+        .findAllMatchIn(java.nio.file.Files.readString(p))
+        .flatMap(g => g.group(2).toDoubleOption.map(g.group(1) -> _)).toMap
+      System.err.println(s"[bench] cross-round check: ${m.size} reference mins from $path")
+      m
+    }
   }
 
   private def rerunIfXRoundSlow(name: String)(f: => Unit): Option[Double] =
@@ -270,6 +277,11 @@ object Bench {
       var q = logged("q03_query", OpsReps)(Wand.topK(spark, lastIdx, Seq(1L)).collect())
       rerunIfNoisy("q03_build") { lastIdx = freshIdx() }.foreach(b = _)
       rerunIfNoisy("q03_query")(
+        Wand.topK(spark, lastIdx, Seq(1L)).collect()).foreach(q = _)
+      // both halves are tracked in bench_prev.json, so they get the
+      // same one-rep recovery contract as the opNames loop
+      rerunIfXRoundSlow("q03_build") { lastIdx = freshIdx() }.foreach(b = _)
+      rerunIfXRoundSlow("q03_query")(
         Wand.topK(spark, lastIdx, Seq(1L)).collect()).foreach(q = _)
       queries("q03_build") = b
       queries("q03_query") = q

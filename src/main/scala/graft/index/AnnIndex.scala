@@ -323,7 +323,13 @@ object AnnIndex {
             else margins.zipWithIndex.sortBy { case (mg, j) => (mg, j) }
               .take(extraProbes).map { case (_, j) => base ^ (1L << j) }.toSeq
           (base +: flips).map((id, _))
-        } else Seq((id, AnnOps.lshCode(ea.toSeq, t, m.nbits)))
+        } else {
+          // margin flips are undefined across dims — refuse loudly
+          // rather than silently dropping the recall dial
+          require(extraProbes == 0,
+            s"multi-probe needs query dim ${m.dim}, got ${ea.length} (query $id)")
+          Seq((id, AnnOps.lshCode(ea.toSeq, t, m.nbits)))
+        }
       }
     }
     batchFromProbe(spark, AnnPaths(indexDir), m, sfDir, qBuckets.toIndexedSeq,

@@ -167,20 +167,34 @@ object AnnOps {
     * can never drift on coding or cap rules.
     */
   private[graft] def lshCodedCapped(spark: SparkSession, sfDir: String,
-      nbits: Int, tables: Int): Option[(DataFrame, DataFrame)] = {
+      nbits: Int, tables: Int): Option[(DataFrame, DataFrame)] =
+    lshCodedCappedWith(spark, sfDir, nbits, tables, codeLsh)
+      .map { case (_, coded, capped) => (coded, capped) }
+
+  /** Shared prologue of the two capped coding passes: dim probe (None
+    * on an empty corpus), nbits derivation, the coding pass, and the
+    * ONE cap rule (lowest [[BucketCap]] ids per bucket via the bounded
+    * heap, ids-as-dist) — parameterized only by the coder so the
+    * inline kNN and the pair ops can never drift on either rule.
+    * Returns (embds, coded, capped-id-bucket frame).
+    */
+  private def lshCodedCappedWith(spark: SparkSession, sfDir: String,
+      nbits: Int, tables: Int,
+      coder: (DataFrame, Int, Int, Int) => DataFrame)
+      : Option[(DataFrame, DataFrame, DataFrame)] = {
     import spark.implicits._
     val embds = embDs(spark, sfDir)
     val dimOpt = embds.select(size(col("emb"))).as[Int].head(1).headOption
     dimOpt.map { dim =>
       val bits = if (nbits > 0) nbits
         else deriveNbits(VectorOps.embCount(spark, sfDir))
-      val coded = codeLsh(embds, tables, bits, dim)
+      val coded = coder(embds, tables, bits, dim)
       val capped = VectorOps.topKByDist(
           coded.select(col("bucket"), col("vec_id"),
             col("vec_id").cast("double").as("dist")),
           BucketCap, "bucket", "vec_id")
         .select(col("vec_id"), col("bucket"))
-      (coded, capped)
+      (embds, coded, capped)
     }
   }
 
@@ -202,25 +216,11 @@ object AnnOps {
     * partials only, never of the pair set.
     */
   private[graft] def lshCodedVecsCapped(spark: SparkSession, sfDir: String,
-      nbits: Int, tables: Int): Option[(DataFrame, DataFrame)] = {
-    import spark.implicits._
-    val embds = embDs(spark, sfDir)
-    val dimOpt = embds.select(size(col("emb"))).as[Int].head(1).headOption
-    dimOpt.map { dim =>
-      val bits = if (nbits > 0) nbits
-        else deriveNbits(VectorOps.embCount(spark, sfDir))
-      val codedVecs = codeLshVecs(embds, tables, bits, dim)
-      // identical cap rule to lshCodedCapped (lowest BucketCap ids per
-      // bucket); the vector payload rides back in via ONE linear join
-      // keyed on vec_id — nothing here scales with the pair count
-      val capped = VectorOps.topKByDist(
-          codedVecs.select(col("bucket"), col("vec_id"),
-            col("vec_id").cast("double").as("dist")),
-          BucketCap, "bucket", "vec_id")
-        .select(col("vec_id"), col("bucket"))
-      (codedVecs, capped.join(embds, "vec_id"))
-    }
-  }
+      nbits: Int, tables: Int): Option[(DataFrame, DataFrame)] =
+    // the vector payload rides back in via ONE linear join keyed on
+    // vec_id — nothing here scales with the pair count
+    lshCodedCappedWith(spark, sfDir, nbits, tables, codeLshVecs)
+      .map { case (embds, coded, capped) => (coded, capped.join(embds, "vec_id")) }
 
   /** Q9 scale path: LSH-bucketed closest pair — candidates are
     * same-bucket collisions in any table (the q21 coding pass

@@ -62,13 +62,19 @@ object PairBench {
       // eps tuned to the synthetic geometry: splitmix64 directions are
       // near-orthogonal at 64 dims (dist ≈ 1), so a mid eps exercises
       // both the covered and self-covered branches
+      // one pass computes both counts — a second action on the
+      // uncached frame would re-run the whole bucketed pipeline
       var ndDf: org.apache.spark.sql.DataFrame = null
-      val (tNd, ndRows) = t {
+      var ndRows = 0L
+      var nonSelf = 0L
+      val (tNd, _) = t {
         ndDf = graft.operators.AnnOps.nearDupLsh(spark, corpus, eps = 0.95)
-        ndDf.count()
+        val agg = ndDf.agg(count(lit(1)),
+          count(when(col("nn") =!= col("vec_id"), 1))).head()
+        ndRows = agg.getLong(0)
+        nonSelf = agg.getLong(1)
       }
       val ndPlan = ndDf.queryExecution.executedPlan.toString
-      val nonSelf = ndDf.filter(col("nn") =!= col("vec_id")).count()
       println(f"[pairbench] nearDupLsh(eps=0.95): $tNd%.1f s -> $ndRows rows " +
         s"($nonSelf non-self covers) cartesian-free=${!ndPlan.contains("CartesianProduct")}")
       require(ndRows == n, s"coverage broken: $ndRows rows != $n vectors")
