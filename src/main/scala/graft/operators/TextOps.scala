@@ -534,11 +534,21 @@ object TextOps {
     * cuts the per-round lineage so the plan does not deepen with the
     * iteration count.
     */
+  /** Edge-count ceiling for broadcasting the pair graph: 16-byte rows
+    * keep 10M edges ≈ 160 MB, comfortably under the broadcast limit.
+    * Past it the propagation join falls back to a shuffle join — the
+    * duplicate-pair set of a 10^12-doc corpus is corpus-relatively
+    * tiny but absolutely large, the same reasoning as
+    * [[NearDupSeq.BroadcastCapRows]].
+    */
+  val EdgeBroadcastCap = 10000000L
+
   private[graft] def dupClustersFrom(allDocs: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = broadcast(
+    val edgesRaw =
       pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
         .union(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
-        .localCheckpoint())
+        .localCheckpoint()
+    val edges = if (edgesRaw.count() <= EdgeBroadcastCap) broadcast(edgesRaw) else edgesRaw
     var labels = allDocs.select(col("doc_id").cast("long"),
       col("doc_id").cast("long").as("lbl")).localCheckpoint()
     var changed = 1L
