@@ -518,37 +518,49 @@ object TextOps {
 
   // ---------------------------------------------------------------- dup clusters
 
+  /** Edge-count ceiling for broadcasting the pair graph. The honest
+    * budget is the broadcast HASH RELATION, not raw field bytes: two
+    * longs become ~24 B of UnsafeRow plus BytesToBytesMap overhead and
+    * a driver-side collect, so 2M edges land near ~100 MB resident on
+    * the driver and every executor — safe even at default driver
+    * sizing. Past the cap the propagation join falls back to a shuffle
+    * join on an edge set hash-partitioned ONCE (see below) — the
+    * duplicate-pair set of a 10^12-doc corpus is corpus-relatively
+    * tiny but absolutely large, the same reasoning as
+    * [[NearDupSeq.BroadcastCapRows]].
+    */
+  val EdgeBroadcastCap = 2000000L
+
   /** Connected components over a near-dup pair graph: every document
     * mapped to the min doc_id of its duplicate component (singletons
     * map to themselves) — the cluster assignment a fuzzy-dedup
     * pipeline groups by to pick one representative per duplicate set.
     *
-    * Iterative min-label propagation: each round broadcasts the edge
-    * set (the VERIFIED near-dup pairs — tiny relative to the corpus;
-    * at 100 TB still only the duplicate pairs, not the corpus), joins
-    * it against the current labels, and takes the per-doc min over
-    * {own label} ∪ {neighbor labels}. Converges in O(component
-    * diameter) rounds — web duplicate clusters are shallow (most are
-    * 2–3 docs; the alternating large-star/small-star contraction is
-    * the documented upgrade if diameters ever grow). `localCheckpoint`
-    * cuts the per-round lineage so the plan does not deepen with the
-    * iteration count.
+    * Iterative min-label propagation: each round joins the edge set
+    * (the VERIFIED near-dup pairs — only the duplicate pairs, never
+    * the corpus) against the current labels and takes the per-doc min
+    * over {own label} ∪ {neighbor labels}. Under [[EdgeBroadcastCap]]
+    * the edge side is broadcast; past it, it is hash-partitioned on
+    * the join key ONCE and checkpointed, so every round's join reuses
+    * that partitioning instead of re-shuffling the multi-GB edge
+    * table per iteration. Converges in O(component diameter) rounds —
+    * web duplicate clusters are shallow (most are 2–3 docs; the
+    * alternating large-star/small-star contraction is the documented
+    * upgrade if diameters ever grow). `localCheckpoint` cuts the
+    * per-round lineage so the plan does not deepen with the iteration
+    * count.
     */
-  /** Edge-count ceiling for broadcasting the pair graph: 16-byte rows
-    * keep 10M edges ≈ 160 MB, comfortably under the broadcast limit.
-    * Past it the propagation join falls back to a shuffle join — the
-    * duplicate-pair set of a 10^12-doc corpus is corpus-relatively
-    * tiny but absolutely large, the same reasoning as
-    * [[NearDupSeq.BroadcastCapRows]].
-    */
-  val EdgeBroadcastCap = 10000000L
-
   private[graft] def dupClustersFrom(allDocs: DataFrame, pairs: DataFrame): DataFrame = {
     val edgesRaw =
       pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
         .union(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
         .localCheckpoint()
-    val edges = if (edgesRaw.count() <= EdgeBroadcastCap) broadcast(edgesRaw) else edgesRaw
+    val edges =
+      if (edgesRaw.count() <= EdgeBroadcastCap) broadcast(edgesRaw)
+      // checkpoint AFTER the repartition: LogicalRDD keeps the output
+      // partitioning, so the per-round join sees edges pre-clustered
+      // on dst and only ever exchanges the labels side
+      else edgesRaw.repartition(col("dst")).localCheckpoint()
     var labels = allDocs.select(col("doc_id").cast("long"),
       col("doc_id").cast("long").as("lbl")).localCheckpoint()
     var changed = 1L
