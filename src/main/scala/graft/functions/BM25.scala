@@ -43,10 +43,16 @@ object BM25 {
   @inline def contribution(tf: Long, dl: Long, avgdl: Double, idfVal: Double): Double =
     idfVal * tfNorm(tf, dl, avgdl)
 
-  @inline def roundScore(s: Double): Double = {
-    val m = math.pow(10, SCALE)
-    math.round(s * m) / m
-  }
+  @inline def roundScore(s: Double): Double =
+    // decimal HALF_UP on the double's shortest representation — the
+    // SAME rule as Catalyst round() and the DuckDB oracle. The former
+    // binary form (math.round(s * 1e4) / 1e4) disagrees with it on
+    // values whose decimal form ends at the 5th place in 5 but whose
+    // binary product lands just under the .5 grid point, which would
+    // break JVM-path ≡ Catalyst-path rank identity on exactly those
+    // boundary scores (same discipline as VectorOps.jvmDist).
+    java.math.BigDecimal.valueOf(s)
+      .setScale(SCALE, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
 
   /** Column form of idf (inputs as columns; Doubles throughout). */
   def idfCol(nDocs: Column, df: Column): Column =

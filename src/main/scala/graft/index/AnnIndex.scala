@@ -349,6 +349,13 @@ object AnnIndex {
     * members of the same quantization grid, exactly like the inline
     * SQMinC operator.
     */
+  /** Probe-bucket count above which the codes-scan filter switches from
+    * an isin literal list to a broadcast semi-join (an In expression
+    * with hundreds of thousands of literals breaks codegen; the join
+    * trades row-group stat skipping for a plan that always compiles).
+    */
+  private val BucketIsinCap = 10000
+
   private def batchFromProbe(spark: SparkSession, paths: AnnPaths, m: AnnMeta,
       sfDir: String, qBuckets: Seq[(Long, Long)], qvecs: Array[(Long, Seq[Double])],
       k: Int): DataFrame = {
@@ -358,18 +365,29 @@ object AnnIndex {
     val buckets = qBuckets.map(_._2).distinct.sorted
     val shards = buckets.map(b => java.lang.Math.floorMod(b, m.numShards.toLong).toInt)
       .distinct.sorted
-    val scan = spark.read.parquet(paths.codes)
+    val scan0 = spark.read.parquet(paths.codes)
       .filter(col("shard").isin(shards: _*))
-      .filter(col("bucket").isin(buckets: _*))
+    // small probe sets stay an isin literal (row-group stat skipping);
+    // a large one (big batch × tables × multiprobe, or a wide-nprobe
+    // IVF) would bloat the In expression past what codegen tolerates —
+    // a broadcast semi-join filters the same rows without it
+    val scan = if (buckets.length <= BucketIsinCap)
+        scan0.filter(col("bucket").isin(buckets: _*))
+      else scan0.join(broadcast(buckets.toDF("bucket")), Seq("bucket"), "leftsemi")
     if (m.vecs) {
-      val qe = qvecs.toMap
-      val probe = qBuckets.map { case (q, b) => (q, b, qe(q)) }
-        .toDF("q_id", "bucket", "q_emb")
+      // the probe relation carries IDS ONLY — carrying the query
+      // vector per (q, bucket) row would replicate each vector once
+      // per probe bucket (nprobe=2048 × 1000 queries ≈ GBs through the
+      // driver for a batch whose unique vectors are KBs); the vectors
+      // join back in AFTER the bucket join, one row per unique query
+      val probe = qBuckets.toDF("q_id", "bucket")
+      val qVecDf = qvecs.toSeq.toDF("q_id", "q_emb")
       val nbrSide =
         if (m.qlevels > 0) decodedScan(scan, m)
         else scan.select(col("bucket"), col("vec_id"), col("emb"))
       val cands0 = nbrSide.select(col("bucket"), col("vec_id").as("nbr_id"), col("emb"))
         .join(broadcast(probe), "bucket")
+        .join(broadcast(qVecDf), "q_id")
         .select(col("q_id"), col("nbr_id"),
           VectorOps.distCol(col("q_emb"), col("emb")).as("dist"))
       // LSH meets the same (q, nbr) pair once per matching hash table —
@@ -563,7 +581,25 @@ object AnnIndex {
       VectorOps.topKByDist(cands, k, "q_id", "nbr_id")
         .select(col("q_id").as("vec_id"), col("rnk"), col("nbr_id"), col("dist"))
         .orderBy("vec_id", "rnk")
+    } else if (m.vecs) {
+      // f64 payload with stored vectors: same shape as the quantized
+      // branch minus the dequant — candidates read their vectors off
+      // the index scan, and the unique-by-construction IVF pairs need
+      // no distinct (the former pairIds.distinct() + two-corpus-join
+      // rescore shuffled the full n² pair set at the q47 exhaustive
+      // probe for zero reduction)
+      val nbrs = spark.read.parquet(AnnPaths(indexDir).codes)
+        .select(col("vec_id").as("nbr_id"), col("bucket"), col("emb").as("n_emb"))
+      val qSide = emb.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val cands = probe.join(nbrs, "bucket")
+        .join(qSide, "q_id")
+        .select(col("q_id"), col("nbr_id"),
+          VectorOps.distCol(col("q_emb"), col("n_emb")).as("dist"))
+      VectorOps.topKByDist(cands, k, "q_id", "nbr_id")
+        .select(col("q_id").as("vec_id"), col("rnk"), col("nbr_id"), col("dist"))
+        .orderBy("vec_id", "rnk")
     } else {
+      // payload-free index (vectors not stored): gather by id instead
       val indexed = spark.read.parquet(AnnPaths(indexDir).codes)
         .select(col("vec_id").as("nbr_id"), col("bucket"))
       val pairIds = probe.join(indexed, "bucket")
@@ -670,18 +706,21 @@ object AnnIndex {
     VectorOps.guardExact(spark, VectorOps.embCount(spark, sfDir))
     val gold = VectorOps.allKnn(spark, sfDir, k)
       .filter(col("vec_id").isin(queryIds: _*)).cache()
-    val ladder = (Seq(0) ++ Iterator.iterate(1)(_ * 2).takeWhile(_ < m.nbits)
-      .toSeq :+ m.nbits).distinct
-    val out = ladder.map { mp =>
-      val got = searchLshBatch(spark, indexDir, sfDir, queryIds, k, mp).cache()
-      val r = AnnOps.macrorecall(gold, got, k)
-      val radius = got.groupBy("vec_id").agg(max("dist").as("cov"))
-        .agg(avg("cov")).head().getDouble(0)
-      got.unpersist()
-      AnnOps.IvfConfig(mp, r, (1.0 + mp) / (1.0 + m.nbits), radius)
-    }
-    gold.unpersist()
-    out
+    try {
+      val ladder = (Seq(0) ++ Iterator.iterate(1)(_ * 2).takeWhile(_ < m.nbits)
+        .toSeq :+ m.nbits).distinct
+      ladder.map { mp =>
+        // unpersist in finally: a rung that throws mid-aggregate must
+        // not strand its cache entry in a long-lived tuning session
+        val got = searchLshBatch(spark, indexDir, sfDir, queryIds, k, mp).cache()
+        try {
+          val r = AnnOps.macrorecall(gold, got, k)
+          val radius = got.groupBy("vec_id").agg(max("dist").as("cov"))
+            .agg(avg("cov")).head().getDouble(0)
+          AnnOps.IvfConfig(mp, r, (1.0 + mp) / (1.0 + m.nbits), radius)
+        } finally got.unpersist()
+      }
+    } finally gold.unpersist()
   }
 
   /** MinRecall over the multiprobe ladder: the smallest extraProbes
@@ -709,21 +748,21 @@ object AnnIndex {
       nlist: Int = 16): Seq[AnnOps.QuantConfig] = {
     VectorOps.guardExact(spark, VectorOps.embCount(spark, sfDir))
     val gold = VectorOps.allKnn(spark, sfDir, k).cache()
-    val out = Seq(3, 15, 255, 0).map { levels =>
+    try Seq(3, 15, 255, 0).map { levels =>
       val idx = java.nio.file.Files.createTempDirectory("graft-quantladder-").toString
       try {
         buildIvf(spark, sfDir, idx, nlist = nlist, quantLevels = levels)
         val got = searchIvfAll(spark, idx, sfDir, k, nprobe = nlist).cache()
-        val r = AnnOps.macrorecall(gold, got, k)
-        val radius = got.groupBy("vec_id").agg(max("dist").as("cov"))
-          .agg(avg("cov")).head().getDouble(0)
-        got.unpersist()
-        val bits = if (levels == 0) 64.0 else bitsFor(levels).toDouble
-        AnnOps.QuantConfig(levels, r, bits / 64.0, radius)
+        try {
+          val r = AnnOps.macrorecall(gold, got, k)
+          val radius = got.groupBy("vec_id").agg(max("dist").as("cov"))
+            .agg(avg("cov")).head().getDouble(0)
+          val bits = if (levels == 0) 64.0 else bitsFor(levels).toDouble
+          AnnOps.QuantConfig(levels, r, bits / 64.0, radius)
+        } finally got.unpersist()
       } finally graft.operators.StreamingOps.deleteRec(idx)
     }
-    gold.unpersist()
-    out
+    finally gold.unpersist()
   }
 
   def optimizeQuant(spark: SparkSession, sfDir: String, goal: AnnOps.OptGoal,

@@ -326,6 +326,13 @@ object IndexBuilder {
     val globalMax = if (docIdRange.isEmpty) maxDoc
       else docsAll.agg(max("doc_id")).head().getLong(0)
     val shardSize = math.max(1L, (globalMax + numShards) / numShards)
+    // the seal/decode paths index a shard's docs with Int arrays
+    // (IndexFormat.decodeNorms et al.); refuse a shard count that
+    // would silently wrap those counts past 2^31 instead of failing
+    // deep inside an executor task — raise numShards with the corpus
+    require(shardSize <= Int.MaxValue.toLong,
+      s"shard size $shardSize (globalMax=$globalMax / numShards=$numShards) " +
+        s"exceeds Int range — raise numShards so each shard holds < 2^31 docs")
     val shardCol = (col("doc_id") / shardSize).cast("int")
 
     // ---- term frequencies: ONE aggregation for tf and dl, cached —
@@ -494,11 +501,18 @@ object IndexBuilder {
     // write manifest AND metrics from the driver-local rows — deriving
     // metrics from the manifest DATASET re-ran its whole plan (a second
     // scan of the sealed postings + norms per commit, pure fixed cost)
-    val manifestRows = docRange.join(postAgg, "shard")
+    // LEFT join from the norms side: a shard whose documents all
+    // tokenize to zero terms has norms but no posting lists — an inner
+    // join would drop its manifest row, readManifest would report it
+    // missing forever, and resume() would loop re-sealing it without
+    // ever converging. Such a shard commits with zeroed posting stats.
+    val manifestRows = docRange.join(postAgg, Seq("shard"), "left")
       .select(lit(snapshotId).as("snapshot_id"),
         concat(lit(s"snap-$snapshotId-shard-"), col("shard")).as("segment_id"),
         col("shard").cast("int"), col("min_doc"), col("max_doc"),
-        col("doc_count"), col("term_count"), col("postings_bytes"),
+        col("doc_count"),
+        coalesce(col("term_count"), lit(0L)).as("term_count"),
+        coalesce(col("postings_bytes"), lit(0L)).as("postings_bytes"),
         lit(parentSnapshot).as("parent_snapshot"),
         lit(seq).as("commit_seq"),
         lit(onlyShards.isEmpty).as("full_commit"))
@@ -591,13 +605,24 @@ object IndexBuilder {
     * set the corpus implies, re-seal only the missing shards (the
     * north rule's checkpoint-resume; idempotent because partition
     * overwrite is dynamic).
+    *
+    * The caller MUST pass the same build dials (`pruneTfnFloor`,
+    * `hintStrategy`, `docsOverride`) as the original build — the
+    * manifest records lineage, not configuration, so a resume with
+    * different dials would silently seal the missing shards under a
+    * different pruning/text source than the committed ones and the
+    * re-derived global idf would disagree with the sealed postings.
     */
   def resume(spark: SparkSession, sfDir: String, indexDir: String,
       numShards: Int, snapshotId: Long,
-      docIdRange: Option[(Long, Long)] = None): Set[Int] = {
+      docIdRange: Option[(Long, Long)] = None,
+      pruneTfnFloor: Option[Double] = None,
+      hintStrategy: HintStrategy = TopHHints,
+      docsOverride: Option[org.apache.spark.sql.DataFrame] = None): Set[Int] = {
     import spark.implicits._
     val paths = IndexPaths(indexDir)
-    val docsAll = Corpus.documents(spark, sfDir).select(col("doc_id"))
+    val docsAll = docsOverride.getOrElse(Corpus.documents(spark, sfDir))
+      .select(col("doc_id"))
     val globalMax = docsAll.agg(max("doc_id")).head().getLong(0)
     val shardSize = math.max(1L, (globalMax + numShards) / numShards)
     val docs = docIdRange match {
@@ -615,7 +640,9 @@ object IndexBuilder {
     if (missing.nonEmpty)
       build(spark, sfDir, indexDir, numShards, snapshotId,
         onlyShards = Some(missing), docIdRange = docIdRange,
-        writeGlobals = Some(true)) // a crash may have preceded the global artifacts
+        writeGlobals = Some(true), // a crash may have preceded the global artifacts
+        pruneTfnFloor = pruneTfnFloor, hintStrategy = hintStrategy,
+        docsOverride = docsOverride)
     missing
   }
 
@@ -819,8 +846,15 @@ object IndexBuilder {
     // whatever subset exists rather than failing after the postings
     // were already written.
     val hintInputs = inSnaps.flatMap { s =>
+      // only "no sidecar" means pre-hints; a corrupt/mis-schemaed
+      // sidecar must fail the merge, not be misread as absent
       try Some(spark.read.parquet(paths.hints(s)))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("PATH_NOT_FOUND") ||
+              c.startsWith("UNABLE_TO_INFER_SCHEMA")) => None
+      }
     }
     if (hintInputs.nonEmpty)
       topHintsPerTerm(hintInputs.reduce(_ union _), avgdl, hintStrategy)

@@ -352,12 +352,20 @@ object Wand {
         }
       } catch {
         // ONLY the expected missing-sidecar case (pre-hints index) may
-        // latch noHints; a transient read failure must propagate, not
-        // silently disable the θ warm-start for the rest of the JVM
-        case e @ (_: org.apache.spark.sql.AnalysisException |
-                  _: java.io.FileNotFoundException) =>
+        // latch noHints; any OTHER analysis failure — schema drift, a
+        // corrupt footer — must propagate, not silently disable the θ
+        // warm-start for the rest of the JVM (same narrowing as
+        // IndexBuilder.rawManifest)
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("PATH_NOT_FOUND") ||
+              c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
           System.err.println(s"[graft] no hints sidecar for $indexDir " +
-            s"snaps=$sk (${e.getClass.getSimpleName}) — θ warm-start disabled")
+            s"snaps=$sk (${e.getCondition}) — θ warm-start disabled")
+          noHints.put((indexDir, sk), ()); return Map.empty
+        case e: java.io.FileNotFoundException =>
+          System.err.println(s"[graft] no hints sidecar for $indexDir " +
+            s"snaps=$sk (FileNotFoundException) — θ warm-start disabled")
           noHints.put((indexDir, sk), ()); return Map.empty
       }
     }
@@ -474,15 +482,31 @@ object Wand {
       .orderBy("query_id", "rnk")
   }
 
+  /** Temp-index scope for the registry entries: `f` must end in
+    * [[localizedResult]] (which owns success-path cleanup); this wrapper
+    * covers the FAILURE path — a build that throws before
+    * localizedResult is reached must not strand a partially written
+    * index in /tmp (a bench loop retrying the op would fill the disk).
+    */
+  private def withTempIndex(prefix: String)(f: String => DataFrame): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory(prefix).toString
+    try f(idx)
+    catch { case t: Throwable =>
+      graft.operators.StreamingOps.deleteRec(idx)
+      invalidate(idx)
+      throw t
+    }
+  }
+
   /** Registry entry: build a fresh index for the sfDir corpus in a temp
     * dir, then run the fixed query set through WAND. Content is a pure
     * function of the corpus — the temp location does not matter.
     */
-  def topKOnCorpus(spark: SparkSession, sfDir: String, numShards: Int = 4): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("graft-index-").toString
-    IndexBuilder.build(spark, sfDir, idx, numShards)
-    localizedResult(topK(spark, idx, Seq(1L)), idx)
-  }
+  def topKOnCorpus(spark: SparkSession, sfDir: String, numShards: Int = 4): DataFrame =
+    withTempIndex("graft-index-") { idx =>
+      IndexBuilder.build(spark, sfDir, idx, numShards)
+      localizedResult(topK(spark, idx, Seq(1L)), idx)
+    }
 
   /** Pin a small result locally, then delete the temp index dirs backing
     * it — the registry index queries build a throwaway index per call
@@ -509,17 +533,17 @@ object Wand {
     * "byte-identical extracted text per url" invariant, enforced at
     * the ranking level by the driver's hash gate.
     */
-  def topKOnPagesCorpus(spark: SparkSession, sfDir: String, numShards: Int = 4): DataFrame = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
-    val idx = java.nio.file.Files.createTempDirectory("graft-index-pages-").toString
-    val docsFromPages = graft.corpus.Corpus.pages(spark, sfDir)
-      .select(
-        regexp_extract(col("url"), "/p(\\d+)$", 1).cast("long").as("doc_id"),
-        graft.corpus.Extractor.extractTextCol(col("html")).as("text"))
-    IndexBuilder.build(spark, sfDir, idx, numShards,
-      docsOverride = Some(docsFromPages))
-    localizedResult(topK(spark, idx, Seq(1L)), idx)
-  }
+  def topKOnPagesCorpus(spark: SparkSession, sfDir: String, numShards: Int = 4): DataFrame =
+    withTempIndex("graft-index-pages-") { idx =>
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      val docsFromPages = graft.corpus.Corpus.pages(spark, sfDir)
+        .select(
+          regexp_extract(col("url"), "/p(\\d+)$", 1).cast("long").as("doc_id"),
+          graft.corpus.Extractor.extractTextCol(col("html")).as("text"))
+      IndexBuilder.build(spark, sfDir, idx, numShards,
+        docsOverride = Some(docsFromPages))
+      localizedResult(topK(spark, idx, Seq(1L)), idx)
+    }
 
   /** Registry entry for the LOG-STRUCTURED MERGE (the reference's
     * `rebuild` compaction, /root/reference/src/searchgraph/rebuild.jl:17-53):
@@ -529,19 +553,19 @@ object Wand {
     * unchanged exhaustive BM25 SQL over the full corpus — a merged
     * index is correct iff it answers exactly like a direct full build.
     */
-  def topKOnMergedCorpus(spark: SparkSession, sfDir: String, numShards: Int = 4): DataFrame = {
-    import org.apache.spark.sql.functions.max
-    val idx = java.nio.file.Files.createTempDirectory("graft-index-merge-").toString
-    val maxDoc = graft.corpus.Corpus.documents(spark, sfDir)
-      .agg(max("doc_id")).head().getLong(0)
-    val mid = (maxDoc + 1) / 2
-    IndexBuilder.build(spark, sfDir, idx, numShards, snapshotId = 1L,
-      docIdRange = Some((0L, mid)))
-    IndexBuilder.build(spark, sfDir, idx, numShards, snapshotId = 2L,
-      parentSnapshot = 1L, docIdRange = Some((mid, maxDoc + 1)))
-    IndexBuilder.mergeSnapshots(spark, idx, Seq(1L, 2L), outSnap = 3L, numShards)
-    localizedResult(topK(spark, idx, Seq(3L)), idx)
-  }
+  def topKOnMergedCorpus(spark: SparkSession, sfDir: String, numShards: Int = 4): DataFrame =
+    withTempIndex("graft-index-merge-") { idx =>
+      import org.apache.spark.sql.functions.max
+      val maxDoc = graft.corpus.Corpus.documents(spark, sfDir)
+        .agg(max("doc_id")).head().getLong(0)
+      val mid = (maxDoc + 1) / 2
+      IndexBuilder.build(spark, sfDir, idx, numShards, snapshotId = 1L,
+        docIdRange = Some((0L, mid)))
+      IndexBuilder.build(spark, sfDir, idx, numShards, snapshotId = 2L,
+        parentSnapshot = 1L, docIdRange = Some((mid, maxDoc + 1)))
+      IndexBuilder.mergeSnapshots(spark, idx, Seq(1L, 2L), outSnap = 3L, numShards)
+      localizedResult(topK(spark, idx, Seq(3L)), idx)
+    }
 
   /** Registry entry for the [[IndexBuilder.EpsilonNetHints]] strategy
     * (the reference's `EpsilonHints` callback, hints.jl:181-220): the
@@ -551,12 +575,12 @@ object Wand {
     * SQL, putting the strategy itself under the DuckDB gate.
     */
   def topKOnCorpusEpsHints(spark: SparkSession, sfDir: String,
-      numShards: Int = 4): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("graft-index-eps-").toString
-    IndexBuilder.build(spark, sfDir, idx, numShards,
-      hintStrategy = IndexBuilder.EpsilonNetHints())
-    localizedResult(topK(spark, idx, Seq(1L)), idx)
-  }
+      numShards: Int = 4): DataFrame =
+    withTempIndex("graft-index-eps-") { idx =>
+      IndexBuilder.build(spark, sfDir, idx, numShards,
+        hintStrategy = IndexBuilder.EpsilonNetHints())
+      localizedResult(topK(spark, idx, Seq(1L)), idx)
+    }
 
   /** Registry entry for the log-growth callbacks scheduler
     * ([[IndexBuilder.maybeCompact]], the reference's
@@ -569,24 +593,24 @@ object Wand {
     * exhaustive-BM25 oracle as q03/q37.
     */
   def topKOnScheduledIngest(spark: SparkSession, sfDir: String,
-      numShards: Int = 4): DataFrame = {
-    import org.apache.spark.sql.functions.max
-    val idx = java.nio.file.Files.createTempDirectory("graft-index-sched-").toString
-    val maxDoc = graft.corpus.Corpus.documents(spark, sfDir)
-      .agg(max("doc_id")).head().getLong(0)
-    val cuts = Seq(0.0, 0.3, 0.55, 0.8, 1.0)
-      .map(f => math.round(f * (maxDoc + 1)).toLong)
-    var live = Seq.empty[Long]
-    var out = 10L
-    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-      val snap = (i + 1).toLong
-      IndexBuilder.build(spark, sfDir, idx, numShards, snapshotId = snap,
-        docIdRange = Some((lo, hi)))
-      if (IndexBuilder.maybeCompact(spark, idx, live, snap, out, numShards,
-          starting = 100)) {
-        live = Seq(out); out += 1
-      } else live = live :+ snap
+      numShards: Int = 4): DataFrame =
+    withTempIndex("graft-index-sched-") { idx =>
+      import org.apache.spark.sql.functions.max
+      val maxDoc = graft.corpus.Corpus.documents(spark, sfDir)
+        .agg(max("doc_id")).head().getLong(0)
+      val cuts = Seq(0.0, 0.3, 0.55, 0.8, 1.0)
+        .map(f => math.round(f * (maxDoc + 1)).toLong)
+      var live = Seq.empty[Long]
+      var out = 10L
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        val snap = (i + 1).toLong
+        IndexBuilder.build(spark, sfDir, idx, numShards, snapshotId = snap,
+          docIdRange = Some((lo, hi)))
+        if (IndexBuilder.maybeCompact(spark, idx, live, snap, out, numShards,
+            starting = 100)) {
+          live = Seq(out); out += 1
+        } else live = live :+ snap
+      }
+      localizedResult(topK(spark, idx, live), idx)
     }
-    localizedResult(topK(spark, idx, live), idx)
-  }
 }
