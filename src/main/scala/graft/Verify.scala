@@ -11,6 +11,13 @@ object Verify {
     // oracle_sql.json so check_oracle.py sees a consistent subset
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    // a typo'd name would otherwise filter everything out and exit 0 —
+    // an empty dump that reads downstream as a clean oracle pass
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"--only names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def keep(name: String) = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -94,9 +94,15 @@ object NearDupSeq {
           var dot = 0.0
           var i = 0
           while (i < e.length) { dot += e(i) * aemb(i); i += 1 }
-          val d = graft.functions.BM25.roundScore(1.0 - dot)
-          if (d <= eps && (d < bestDist || (d == bestDist && aid < bestId))) {
-            bestId = aid; bestDist = d
+          // non-finite raw distance (NaN/Inf embedding component) must
+          // fail the <= eps acceptance exactly like the Catalyst
+          // distCol path does — roundScore would throw on it
+          val raw = 1.0 - dot
+          if (java.lang.Double.isFinite(raw)) {
+            val d = graft.functions.BM25.roundScore(raw)
+            if (d <= eps && (d < bestDist || (d == bestDist && aid < bestId))) {
+              bestId = aid; bestDist = d
+            }
           }
         }
         if (bestId >= 0) out += ((id, bestId, bestDist))

@@ -359,27 +359,31 @@ object StreamingOps {
     val path = s"$sfDir/documents.parquet"
     val schema = spark.read.parquet(path).schema
     val stageDir = java.nio.file.Files.createTempDirectory("graft-dedup-")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      stageDir.resolve("documents.parquet"))
     val outDir = java.nio.file.Files.createTempDirectory("graft-dedup-sink-").toString
     val ckDir = java.nio.file.Files.createTempDirectory("graft-dedup-ck-").toString
-    def run(): Unit = streamDedupRun(spark, stageDir.toString, outDir, ckDir, schema)
-    run()
-    // the min-id document re-arrives as a new ingest file under doc_id
-    // max+1 — run 2 must recognize it from checkpointed state
-    val bounds = spark.read.parquet(path)
-      .agg(min("doc_id").cast("long"), max("doc_id").cast("long")).head()
-    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
-    spark.read.parquet(path).filter(col("doc_id") === minId)
-      .withColumn("doc_id", lit(maxId + 1).cast(schema("doc_id").dataType))
-      .write.mode("append").parquet(stageDir.toString)
-    run()
-    try localized(
-      spark.read.parquet(outDir)
-        .select(col("doc_id").cast("long"), col("canonical_id").cast("long"),
-          col("kept").cast("int"))
-        .orderBy("doc_id"))
-    finally deleteRec(stageDir.toString, outDir, ckDir)
+    // everything from the fixture copy onward sits inside the cleanup
+    // scope: a failed streaming run must not strand a fixture-sized
+    // copy per bench rep (opOnce catches and the rep loop re-invokes)
+    try {
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        stageDir.resolve("documents.parquet"))
+      def run(): Unit = streamDedupRun(spark, stageDir.toString, outDir, ckDir, schema)
+      run()
+      // the min-id document re-arrives as a new ingest file under doc_id
+      // max+1 — run 2 must recognize it from checkpointed state
+      val bounds = spark.read.parquet(path)
+        .agg(min("doc_id").cast("long"), max("doc_id").cast("long")).head()
+      val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+      spark.read.parquet(path).filter(col("doc_id") === minId)
+        .withColumn("doc_id", lit(maxId + 1).cast(schema("doc_id").dataType))
+        .write.mode("append").parquet(stageDir.toString)
+      run()
+      localized(
+        spark.read.parquet(outDir)
+          .select(col("doc_id").cast("long"), col("canonical_id").cast("long"),
+            col("kept").cast("int"))
+          .orderBy("doc_id"))
+    } finally deleteRec(stageDir.toString, outDir, ckDir)
   }
 
   val streamDedupOracleSql: String =

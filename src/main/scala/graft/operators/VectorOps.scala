@@ -289,7 +289,6 @@ object VectorOps {
     * on samples.
     */
   def closestPair(spark: SparkSession, sfDir: String): DataFrame = {
-    guardExact(spark, embCount(spark, sfDir))
     val a = emb(spark, sfDir, "a")
     val b = emb(spark, sfDir, "b")
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
@@ -323,7 +322,6 @@ object VectorOps {
     * variant is [[AnnOps.nearDupLsh]].
     */
   def nearDup(spark: SparkSession, sfDir: String, eps: Double = 0.65): DataFrame = {
-    guardExact(spark, embCount(spark, sfDir))
     val a = emb(spark, sfDir, "a")
     val b = emb(spark, sfDir, "b")
     val within = a.crossJoin(b)
