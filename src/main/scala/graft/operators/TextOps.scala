@@ -616,4 +616,133 @@ object TextOps {
        |)
        |SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- decontamination
+
+  /** Held-out benchmark stride: docs with `doc_id % stride == 0` play
+    * the role of the evaluation benchmark whose n-grams must not leak
+    * into the training corpus. Derived deterministically from the
+    * corpus itself so the operator and its DuckDB oracle see the same
+    * split at every scale — in production the benchmark side is an
+    * external table (MMLU/GSM8K/held-out eval suites), which only makes
+    * the broadcast side SMALLER.
+    */
+  val BenchmarkIdStride = 97
+
+  /** Benchmark decontamination — the training-data hygiene pass every
+    * large-scale pipeline runs before training (n-gram overlap against
+    * the eval suites, the GPT-3 appendix-C / PaLM "contamination"
+    * check): a corpus doc is contaminated if it shares ≥ `minHits`
+    * distinct token shingles with any benchmark doc. Returns
+    * (doc_id, bench_hits) for contaminated docs.
+    *
+    * Scale shape: the benchmark shingle set is tiny relative to the
+    * corpus (benchmarks are MBs against 100 TB), so it is BROADCAST —
+    * the corpus side is one generate-shingles scan plus a map-side
+    * combinable per-doc count; no corpus-sized shuffle anywhere. The
+    * same shape holds when the benchmark side is an external table.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String,
+      minHits: Int = 1, stride: Int = BenchmarkIdStride): DataFrame = {
+    val sh = docShingles(spark, sfDir)
+    val bench = sh.filter(col("doc_id") % stride === 0)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val corpus = sh.filter(col("doc_id") % stride =!= 0)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    corpus.join(broadcast(bench), "shingle")
+      // shingles are distinct per doc, so count(*) IS the distinct
+      // overlap size — no count(distinct) shuffle needed
+      .groupBy("doc_id").agg(count(lit(1)).as("bench_hits"))
+      .filter(col("bench_hits") >= minHits)
+      .select(col("doc_id").cast("long"), col("bench_hits").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateOracleSql(minHits: Int = 1,
+      stride: Int = BenchmarkIdStride): String =
+    s"""WITH sh AS ($duckShinglesSql),
+       |bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+       |          WHERE doc_id % $stride = 0),
+       |corpus AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+       |           WHERE doc_id % $stride <> 0)
+       |SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       |       CAST(count(*) AS BIGINT) AS bench_hits
+       |FROM corpus c JOIN bench b USING (shingle)
+       |GROUP BY c.doc_id HAVING count(*) >= $minHits
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- repetition metrics
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    * "duplicate n-gram fraction" / "top n-gram fraction" — the
+    * repetition filters a quality pipeline applies after [[qualityScore]]'s
+    * lexical ones): per doc, over its token 2-grams,
+    * the fraction of 2-gram occurrences that are repeats and the share
+    * held by the single most frequent 2-gram.
+    *
+    * Scale shape: pure per-row computation — the 2-gram multiset is
+    * sorted and folded in ONE higher-order-function pass (run-length
+    * over the sorted array gives distinct count and max multiplicity),
+    * so the operator is a single corpus scan with NO shuffle at all;
+    * the explode→groupBy(doc, gram) alternative shuffles one row per
+    * token of the corpus. O(dl log dl) per doc, embarrassingly parallel.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionFrom(docs(spark, sfDir))
+
+  private[graft] def repetitionFrom(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        sort_array(when(size(col("t")) >= 2,
+          expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .select(col("doc_id"), size(col("g")).as("n2"),
+        // run-length fold over the sorted grams: dst = distinct grams,
+        // mx = longest run = max multiplicity (mx is updated on every
+        // step, so a run completed earlier is already folded in)
+        expr("""aggregate(g,
+          struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS mx, 0L AS dst),
+          (s, x) -> IF(s.prev IS NOT NULL AND x = s.prev,
+            struct(x AS prev, s.run + 1L AS run,
+                   greatest(s.mx, s.run + 1L) AS mx, s.dst AS dst),
+            struct(x AS prev, 1L AS run,
+                   greatest(s.mx, 1L) AS mx, s.dst + 1L AS dst)),
+          s -> struct(s.mx AS top, s.dst AS dst))""").as("r"))
+      .select(
+        col("doc_id").cast("long"),
+        col("n2").cast("long").as("n_2grams"),
+        col("r.dst").as("distinct_2grams"),
+        // ratios rounded from RAW doubles (see qualityScore's composite
+        // note: pre-rounded terms land on .00005 boundaries)
+        when(col("n2") === 0, lit(0.0)).otherwise(
+          round((col("n2") - col("r.dst")) / col("n2").cast("double"), 4))
+          .as("dup_2gram_frac"),
+        when(col("n2") === 0, lit(0.0)).otherwise(
+          round(col("r.top") / col("n2").cast("double"), 4))
+          .as("top_2gram_frac"))
+      .orderBy("doc_id")
+
+  val repetitionOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 2
+      |    THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+      |    ELSE [] END AS g
+      |  FROM t
+      |), e AS (SELECT doc_id, unnest(g) AS gram FROM g WHERE len(g) > 0),
+      |c AS (SELECT doc_id, gram, count(*) AS c FROM e GROUP BY 1, 2),
+      |m AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c) AS top
+      |      FROM c GROUP BY 1)
+      |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+      |       CAST(coalesce(m.n2, 0) AS BIGINT) AS n_2grams,
+      |       CAST(coalesce(m.d2, 0) AS BIGINT) AS distinct_2grams,
+      |       CAST(CASE WHEN coalesce(m.n2, 0) = 0 THEN 0.0
+      |            ELSE round((m.n2 - m.d2) / CAST(m.n2 AS DOUBLE), 4) END
+      |            AS DOUBLE) AS dup_2gram_frac,
+      |       CAST(CASE WHEN coalesce(m.n2, 0) = 0 THEN 0.0
+      |            ELSE round(m.top / CAST(m.n2 AS DOUBLE), 4) END
+      |            AS DOUBLE) AS top_2gram_frac
+      |FROM t LEFT JOIN m ON m.doc_id = t.doc_id ORDER BY doc_id""".stripMargin
 }

@@ -79,7 +79,13 @@ object Registry {
     "q52_stream_dedup" -> ((s, dir) => graft.operators.StreamingOps.streamDedup(s, dir)),
     // fuzzy-dedup cluster assignment: connected components over the
     // verified MinHash-LSH pairs via min-label propagation
-    "q53_dup_clusters" -> ((s, dir) => graft.operators.TextOps.dupClusters(s, dir))
+    "q53_dup_clusters" -> ((s, dir) => graft.operators.TextOps.dupClusters(s, dir)),
+    // benchmark decontamination: distinct-shingle overlap against the
+    // deterministic held-out stride split (broadcast benchmark side)
+    "q54_decontaminate" -> ((s, dir) => graft.operators.TextOps.decontaminate(s, dir)),
+    // Gopher-style repetition signals: duplicate / top 2-gram fractions
+    // via a per-row sorted run-length fold (no shuffle)
+    "q55_repetition" -> ((s, dir) => graft.operators.TextOps.repetition(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -171,6 +177,8 @@ object Registry {
     "q51_neardup_seq_nofilter" ->
       graft.operators.NearDupSeq.nearDupSeqOracleSql(filterBlocks = false),
     "q52_stream_dedup" -> graft.operators.StreamingOps.streamDedupOracleSql,
-    "q53_dup_clusters" -> graft.operators.TextOps.dupClustersOracleSql()
+    "q53_dup_clusters" -> graft.operators.TextOps.dupClustersOracleSql(),
+    "q54_decontaminate" -> graft.operators.TextOps.decontaminateOracleSql(),
+    "q55_repetition" -> graft.operators.TextOps.repetitionOracleSql
   )
 }

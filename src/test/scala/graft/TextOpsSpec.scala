@@ -108,4 +108,73 @@ class TextOpsSpec extends AnyFunSuite {
       (4L, 4L), (7L, 7L))
     assert(got == want, s"got $got")
   }
+
+  /** Decontamination against the stride-derived benchmark split: the
+    * operator must equal a driver-side golden recompute of distinct-
+    * shingle overlaps, and never emit a benchmark doc.
+    */
+  test("decontaminate ≡ golden shingle-overlap model; benchmark side excluded") {
+    val spark = TestSpark.spark
+    val got = TextOps.decontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // golden model: same tokenizer/shingler, plain Scala sets
+    def shingles(text: String): Set[String] = {
+      val t = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = graft.corpus.Corpus.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), shingles(r.getString(1))))
+    val stride = TextOps.BenchmarkIdStride
+    val bench = docs.filter(_._1 % stride == 0).flatMap(_._2).toSet
+    val want = docs.filter(_._1 % stride != 0)
+      .map { case (id, sh) => (id, sh.count(bench.contains).toLong) }
+      .filter(_._2 >= 1L).sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "fixture vocabulary must produce overlaps")
+    assert(got.forall(_._1 % stride != 0), "no benchmark doc may appear")
+  }
+
+  /** Repetition metrics ≡ golden per-doc 2-gram model, including the
+    * degenerate <2-token docs (n_2grams = 0, fractions 0.0).
+    */
+  test("repetition ≡ golden 2-gram run-length model; degenerate docs safe") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b a b a b"),   // dup-heavy: grams [a b]*3 [b a]*2
+      (2L, "x"),             // single token: no 2-grams
+      (3L, ""),              // empty text
+      (4L, "w1 w2 w3 w4")    // all distinct
+    ).toDF("doc_id", "text")
+    def golden(id: Long, text: String): (Long, Long, Long, Double, Double) = {
+      val t = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val g = if (t.length < 2) Seq.empty[String]
+        else t.sliding(2).map(_.mkString(" ")).toSeq
+      val n2 = g.size.toLong
+      if (n2 == 0L) (id, 0L, 0L, 0.0, 0.0)
+      else {
+        val counts = g.groupBy(identity).map(_._2.size.toLong)
+        def r4(x: Double): Double =
+          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, n2, counts.size.toLong,
+          r4((n2 - counts.size).toDouble / n2), r4(counts.max.toDouble / n2))
+      }
+    }
+    val gotTiny = TextOps.repetitionFrom(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    val wantTiny = Seq((1L, "a b a b a b"), (2L, "x"), (3L, ""), (4L, "w1 w2 w3 w4"))
+      .map { case (id, tx) => golden(id, tx) }
+    assert(gotTiny == wantTiny, s"got $gotTiny")
+    // and on the real fixture, every row matches the golden model
+    val gotFix = TextOps.repetition(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    val wantFix = graft.corpus.Corpus.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => golden(r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(gotFix == wantFix)
+  }
 }
