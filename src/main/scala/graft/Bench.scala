@@ -233,7 +233,8 @@ object Bench {
       "q32_sq_u4_knn", "q34_random_proj", "q35_cloud_distances", "q36_events_filesink",
       "q44_ann_persisted", "q45_sq_ivf_persisted", "q46_searchbatch_external",
       "q47_ivf_f64_persisted", "q48_closestpair_lsh", "q49_neardup_lsh",
-      "q52_stream_dedup", "q53_dup_clusters")
+      "q52_stream_dedup", "q53_dup_clusters", "q56_substring_dup",
+      "q58_shingle_novelty")
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     def opOnce(name: String): Unit =
       SparkEntry.queries.get(name).foreach { fn =>

@@ -745,4 +745,222 @@ object TextOps {
       |            ELSE round(m.top / CAST(m.n2 AS DOUBLE), 4) END
       |            AS DOUBLE) AS top_2gram_frac
       |FROM t LEFT JOIN m ON m.doc_id = t.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- substring duplication
+
+  /** Window width (tokens) for [[substringDup]]. Small enough to fire
+    * on the fixture's 10–99-token docs; the production value (Lee et
+    * al. use 50 BPE tokens) is a dial, the plan shape is identical.
+    */
+  val SubstringWindow = 5
+
+  /** Exact substring-duplication coverage (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the exact-substring counterpart of the document-level sketches
+    * q13–q15): a positional w-token window is DUPLICATED if its
+    * string occurs ≥ 2 times anywhere in the corpus (another doc or a
+    * second site in the same doc — the suffix-array criterion). Per
+    * doc: window count, duplicated-window count, and the fraction of
+    * the doc's tokens covered by the union of its duplicated windows
+    * (the span a substring-dedup pass would cut).
+    *
+    * Scale shape: explode positional windows (one row per corpus
+    * token) → map-side-combinable count per window string → equi-join
+    * the duplicated set back to positions (join OUTPUT is bounded by
+    * corpus positions — never pairwise like q13's candidate join) →
+    * per-doc sorted-position fold for the interval union, the same
+    * one-pass run-length trick as [[repetition]]. A hot boilerplate
+    * window inflates only the combined count, not a reducer's row
+    * count; AQE's skew split handles the join side. The window frame
+    * is materialized once (localCheckpoint — it feeds both the dup
+    * derivation and the position join; recomputing it would tokenize
+    * the corpus twice).
+    */
+  def substringDup(spark: SparkSession, sfDir: String,
+      w: Int = SubstringWindow): DataFrame =
+    substringDupFrom(docs(spark, sfDir), w)
+
+  private[graft] def substringDupFrom(docsDf: DataFrame, w: Int): DataFrame = {
+    val d = docsDf.select(col("doc_id"), toks.as("t"))
+    val dims = d.select(col("doc_id"), size(col("t")).as("dl"),
+      greatest(size(col("t")) - lit(w - 1), lit(0)).as("n_windows"))
+    val pos = d.select(col("doc_id"),
+        when(size(col("t")) >= w, expr(
+          s"transform(sequence(0, size(t) - $w), " +
+            s"i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, $w)) AS win))"))
+          .otherwise(expr("array()").cast("array<struct<pos:int,win:string>>"))
+          .as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.win").as("win"))
+      .localCheckpoint()
+    val dup = pos.groupBy("win").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("win")
+    val perDoc = pos.join(dup, "win")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_windows"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      // interval-union length of [pos, pos+w) over sorted starts:
+      // first window contributes w, each next min(w, gap)
+      .select(col("doc_id"), col("dup_windows"),
+        expr(s"""aggregate(ps,
+          struct(CAST(-1 AS INT) AS prev, CAST(0 AS BIGINT) AS cov),
+          (s, x) -> struct(x AS prev,
+            s.cov + IF(s.prev < 0, CAST($w AS BIGINT),
+                       least(CAST($w AS BIGINT), CAST(x - s.prev AS BIGINT)))),
+          s -> s.cov)""").as("cov"))
+    dims.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id").cast("long"),
+        col("n_windows").cast("long"),
+        coalesce(col("dup_windows"), lit(0L)).cast("long").as("dup_windows"),
+        when(col("dl") === 0, lit(0.0)).otherwise(
+          round(coalesce(col("cov"), lit(0L)) / col("dl").cast("double"), 4))
+          .as("dup_token_frac"))
+      .orderBy("doc_id")
+  }
+
+  def substringDupOracleSql(w: Int = SubstringWindow): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+       |  FROM documents
+       |),
+       |dims AS (SELECT doc_id, len(t) AS dl,
+       |                greatest(len(t) - ${w - 1}, 0) AS n_windows FROM t),
+       |p AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+${w - 1}], ' ') AS win
+       |  FROM t, unnest(range(1, len(t) - $w + 2)) AS r(i)
+       |  WHERE len(t) >= $w
+       |),
+       |dup AS (SELECT win FROM p GROUP BY win HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM p JOIN dup USING (win)),
+       |agg AS (SELECT doc_id, count(*) AS dup_windows, list_sort(list(pos)) AS ps
+       |        FROM dp GROUP BY doc_id),
+       |cov AS (SELECT doc_id, dup_windows,
+       |  $w + coalesce(list_sum([least($w, ps[i+1] - ps[i]) FOR i IN range(1, len(ps))]), 0) AS cov
+       |  FROM agg)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |       CAST(d.n_windows AS BIGINT) AS n_windows,
+       |       CAST(coalesce(c.dup_windows, 0) AS BIGINT) AS dup_windows,
+       |       CAST(CASE WHEN d.dl = 0 THEN 0.0
+       |            ELSE round(coalesce(c.cov, 0) / CAST(d.dl AS DOUBLE), 4) END
+       |            AS DOUBLE) AS dup_token_frac
+       |FROM dims d LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- stratified sampling
+
+  /** Per-language keep rates for [[sampleMix]] — the data-mixing dial
+    * (up-weight high-resource quality strata, down-weight the rest).
+    * Literal doubles parse identically on both engines.
+    */
+  val MixRates: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "fr" -> 0.4, "es" -> 0.4, "de" -> 0.25, "zh" -> 0.25)
+  val MixDefaultRate = 0.1
+
+  /** Salt for the sampling hash stream — a distinct stream per mixing
+    * run (re-mixing with a new salt draws an independent sample). */
+  val MixSalt = "mix1:"
+
+  /** Deterministic stratified sampling — the data-mixing pass that
+    * turns a filtered corpus into a training mix (per-language /
+    * per-source rates, the GPT-3/LLaMA "sampling proportions" table):
+    * keep doc iff u(doc_id) < rate(lang), where u ∈ [0,1) is the top
+    * 52 bits of md5(salt ‖ doc_id) — a pure function of the row, so
+    * the sample is reproducible run-to-run, engine-to-engine, and
+    * STABLE under corpus growth (adding docs never flips an existing
+    * doc's decision, unlike sample-by-rank schemes; Spark's own
+    * `sample()` is partitioning-dependent, which is why it is not
+    * used here).
+    *
+    * Scale shape: one scan, zero shuffle — a per-row filter of
+    * codegen'd built-ins (md5 → hex prefix → integer). 52 bits keeps
+    * the value exactly representable in a double, so u and the
+    * comparison are bit-identical across engines (the splitmix64
+    * family is NOT usable in a column here: its multiplies wrap mod
+    * 2^64, which ANSI-mode long arithmetic rejects — the LSH planes
+    * sidestep that by tabulating on the driver).
+    */
+  def sampleMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit(MixSalt), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("long")
+    val u = h.cast("double") / lit(4503599627370496.0) // 2^52
+    val rate = MixRates.foldLeft[Column](lit(MixDefaultRate)) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Corpus.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), u.as("u"), rate.as("rate"))
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id").cast("long"), col("lang"), round(col("u"), 6).as("u"))
+      .orderBy("doc_id")
+  }
+
+  def sampleMixOracleSql: String = {
+    val rateCase = MixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""WITH u AS (
+       |  SELECT doc_id, lang,
+       |         CAST(CAST(concat('0x', substr(md5(concat('$MixSalt', CAST(doc_id AS VARCHAR))), 1, 13))
+       |              AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS u
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, lang, u,
+       |         CAST(CASE lang $rateCase ELSE $MixDefaultRate END AS DOUBLE) AS rate
+       |  FROM u
+       |)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |       CAST(round(u, 6) AS DOUBLE) AS u
+       |FROM r WHERE u < rate ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- shingle novelty
+
+  /** Corpus-level boilerplate/novelty signal: per doc, over its
+    * distinct 3-token shingles, the mean corpus document frequency
+    * (high = formulaic — template/boilerplate text shared by many
+    * pages) and the fraction of shingles unique to this doc (high =
+    * novel content). The corpus-statistics complement of the PER-ROW
+    * quality heuristics (q17/q55): those see one doc, this sees the
+    * doc against the collection — the cheap stand-in for a
+    * perplexity filter, with integer-exact arithmetic instead of a
+    * transcendental (cross-engine log ulp drift can flip a rounded
+    * digit; integer df sums cannot).
+    *
+    * Scale shape: shingle explode → map-side-combinable df count
+    * (shingles are distinct per doc so count(*) IS document
+    * frequency) → equi-join df back to the exploded rows (output
+    * bounded by corpus shingle occurrences) → per-doc integer sums.
+    */
+  def shingleNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = docShingles(spark, sfDir)
+    val e = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .localCheckpoint()
+    val df = e.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val agg = e.join(df, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum("df").as("s"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("u"))
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id").cast("long"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_shingles"),
+        when(coalesce(col("n"), lit(0L)) === 0, lit(0.0)).otherwise(
+          round(col("s") / col("n").cast("double"), 4)).as("mean_shingle_df"),
+        // a shingle-less doc is trivially all-novel
+        when(coalesce(col("n"), lit(0L)) === 0, lit(1.0)).otherwise(
+          round(col("u") / col("n").cast("double"), 4)).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val shingleNoveltyOracleSql: String =
+    s"""WITH sh AS ($duckShinglesSql),
+       |e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |df AS (SELECT shingle, count(*) AS df FROM e GROUP BY shingle),
+       |agg AS (SELECT e.doc_id, count(*) AS n, sum(f.df) AS s,
+       |        sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS u
+       |        FROM e JOIN df f USING (shingle) GROUP BY e.doc_id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_shingles,
+       |  CAST(CASE WHEN coalesce(a.n, 0) = 0 THEN 0.0
+       |       ELSE round(a.s / CAST(a.n AS DOUBLE), 4) END AS DOUBLE) AS mean_shingle_df,
+       |  CAST(CASE WHEN coalesce(a.n, 0) = 0 THEN 1.0
+       |       ELSE round(a.u / CAST(a.n AS DOUBLE), 4) END AS DOUBLE) AS novelty
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 }

@@ -85,7 +85,17 @@ object Registry {
     "q54_decontaminate" -> ((s, dir) => graft.operators.TextOps.decontaminate(s, dir)),
     // Gopher-style repetition signals: duplicate / top 2-gram fractions
     // via a per-row sorted run-length fold (no shuffle)
-    "q55_repetition" -> ((s, dir) => graft.operators.TextOps.repetition(s, dir))
+    "q55_repetition" -> ((s, dir) => graft.operators.TextOps.repetition(s, dir)),
+    // exact substring-duplication coverage (Lee et al. 2022): positional
+    // w-token windows, duplicated = seen ≥2 times anywhere, per-doc
+    // interval-union token coverage
+    "q56_substring_dup" -> ((s, dir) => graft.operators.TextOps.substringDup(s, dir)),
+    // deterministic stratified sampling: per-lang keep rates over a
+    // per-row md5-derived uniform — the data-mixing pass
+    "q57_sample_mix" -> ((s, dir) => graft.operators.TextOps.sampleMix(s, dir)),
+    // corpus-level boilerplate/novelty signal: mean shingle df +
+    // unique-shingle fraction per doc
+    "q58_shingle_novelty" -> ((s, dir) => graft.operators.TextOps.shingleNovelty(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -179,6 +189,9 @@ object Registry {
     "q52_stream_dedup" -> graft.operators.StreamingOps.streamDedupOracleSql,
     "q53_dup_clusters" -> graft.operators.TextOps.dupClustersOracleSql(),
     "q54_decontaminate" -> graft.operators.TextOps.decontaminateOracleSql(),
-    "q55_repetition" -> graft.operators.TextOps.repetitionOracleSql
+    "q55_repetition" -> graft.operators.TextOps.repetitionOracleSql,
+    "q56_substring_dup" -> graft.operators.TextOps.substringDupOracleSql(),
+    "q57_sample_mix" -> graft.operators.TextOps.sampleMixOracleSql,
+    "q58_shingle_novelty" -> graft.operators.TextOps.shingleNoveltyOracleSql
   )
 }

@@ -177,4 +177,126 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => golden(r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
     assert(gotFix == wantFix)
   }
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Golden interval-union model for [[TextOps.substringDup]]:
+    * positional w-windows, duplicated = corpus count ≥ 2 (intra-doc
+    * repeats count), coverage = union of [pos, pos+w).
+    */
+  private def substringGolden(rows: Seq[(Long, String)], w: Int): Seq[(Long, Long, Long, Double)] = {
+    def toks(s: String) = s.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    val wins = rows.map { case (id, tx) =>
+      val t = toks(tx)
+      (id, t.length,
+        if (t.length >= w) t.sliding(w).map(_.mkString(" ")).toVector else Vector.empty[String])
+    }
+    val counts = wins.flatMap(_._3).groupBy(identity).map { case (k, v) => (k, v.size) }
+    wins.map { case (id, dl, ws) =>
+      val dupPos = ws.zipWithIndex.collect { case (win, i) if counts(win) >= 2 => i }
+      var cov = 0L
+      var prev = -1
+      dupPos.foreach { p => cov += (if (prev < 0) w.toLong else math.min(w, p - prev).toLong); prev = p }
+      (id, math.max(dl - (w - 1), 0).toLong, dupPos.size.toLong,
+        if (dl == 0) 0.0 else r4(cov.toDouble / dl))
+    }.sortBy(_._1)
+  }
+
+  test("substring duplication ≡ golden interval-union model; short docs safe") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val w = TextOps.SubstringWindow
+    // doc 1 repeats its own opening 5-gram at pos 6; doc 2 shares it;
+    // doc 3 is below the window width; doc 4 is empty
+    val tinyRows = Seq(
+      (1L, "a b c d e f a b c d e"),
+      (2L, "a b c d e x y z w v"),
+      (3L, "p q r s"),
+      (4L, ""))
+    val gotTiny = TextOps.substringDupFrom(tinyRows.toDF("doc_id", "text"), w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(gotTiny == substringGolden(tinyRows, w), s"got $gotTiny")
+    // overlapping dup windows in doc 1 must UNION, not sum: positions
+    // {0, 6} cover 10 of 11 tokens (gap 6 > w contributes w twice)
+    assert(gotTiny.head == ((1L, 7L, 2L, r4(10.0 / 11))))
+    // and the fixture agrees row-for-row
+    val fixRows = graft.corpus.Corpus.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val gotFix = TextOps.substringDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(gotFix == substringGolden(fixRows, w))
+    assert(gotFix.exists(_._3 > 0), "fixture must contain duplicated substrings")
+  }
+
+  test("stratified sample ≡ golden md5 model; all strata drawn, decisions row-pure") {
+    val spark = TestSpark.spark
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${TextOps.MixSalt}$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16).toDouble / 4503599627370496.0
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rates = TextOps.MixRates.toMap
+    val docs = graft.corpus.Corpus.documents(spark, dir)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = docs
+      .filter { case (id, l) => u(id) < rates.getOrElse(l, TextOps.MixDefaultRate) }
+      .map { case (id, l) => (id, l, r6(u(id))) }.sortBy(_._1)
+    val got = TextOps.sampleMix(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == want)
+    // the mix draws from every stratum, at visibly different rates
+    val kept = got.groupBy(_._2).map { case (l, g) => (l, g.size.toDouble) }
+    val total = docs.groupBy(_._2).map { case (l, g) => (l, g.size.toDouble) }
+    assert(total.keySet.forall(l => kept.getOrElse(l, 0.0) > 0), s"empty stratum: $kept")
+    assert(kept("en") / total("en") > kept.getOrElse("de", 0.0) / total("de"),
+      "en must be sampled at a visibly higher rate than de")
+  }
+
+  test("shingle novelty ≡ golden df model; df counts distinct docs") {
+    val spark = TestSpark.spark
+    def shingles(text: String): Set[String] = {
+      val t = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = graft.corpus.Corpus.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), shingles(r.getString(1)))).toSeq
+    val df = docs.flatMap(_._2).groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val want = docs.map { case (id, sh) =>
+      val n = sh.size.toLong
+      if (n == 0) (id, 0L, 0.0, 1.0)
+      else (id, n, r4(sh.toSeq.map(df).sum.toDouble / n),
+        r4(sh.count(s => df(s) == 1L).toDouble / n))
+    }.sortBy(_._1)
+    val got = TextOps.shingleNovelty(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // non-degenerate on the fixture: novelty varies and boilerplate exists
+    assert(got.map(_._4).distinct.size > 10, "novelty must vary across docs")
+    assert(got.exists(_._3 > 2.0), "formulaic (high mean-df) docs must exist")
+  }
+
+  test("substring duplication / novelty plans: pair-free, partial-aggregated") {
+    val spark = TestSpark.spark
+    for ((nm, df) <- Seq(
+        ("substringDup", TextOps.substringDup(spark, dir)),
+        ("shingleNovelty", TextOps.shingleNovelty(spark, dir)))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // the dup/df sets come from counts and equi-joins — the O(n²)
+      // node a naive windows-self-join would introduce may not appear
+      assert(!plan.contains("CartesianProduct"), s"$nm plan has a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$nm plan has a nested-loop join")
+      // the hot groupBy (window/shingle counts) must combine map-side:
+      // a partial_count before the exchange, not raw rows through it
+      assert(plan.contains("partial_count") || plan.contains("partial count"),
+        s"$nm count aggregation is not map-side combined")
+    }
+  }
 }
