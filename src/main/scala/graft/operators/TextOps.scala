@@ -780,11 +780,14 @@ object TextOps {
       w: Int = SubstringWindow): DataFrame =
     substringDupFrom(docs(spark, sfDir), w)
 
-  private[graft] def substringDupFrom(docsDf: DataFrame, w: Int): DataFrame = {
-    val d = docsDf.select(col("doc_id"), toks.as("t"))
-    val dims = d.select(col("doc_id"), size(col("t")).as("dl"),
-      greatest(size(col("t")) - lit(w - 1), lit(0)).as("n_windows"))
-    val pos = d.select(col("doc_id"),
+  /** Positional w-token window frame (doc_id, pos, win) — one row per
+    * corpus token position that can start a window. Shared by the
+    * measurement pass ([[substringDup]]) and the removal pass
+    * ([[substringDedup]]).
+    */
+  private def windowFrame(docsDf: DataFrame, w: Int): DataFrame =
+    docsDf.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
         when(size(col("t")) >= w, expr(
           s"transform(sequence(0, size(t) - $w), " +
             s"i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, $w)) AS win))"))
@@ -792,7 +795,12 @@ object TextOps {
           .as("ws"))
       .select(col("doc_id"), explode(col("ws")).as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.win").as("win"))
-      .localCheckpoint()
+
+  private[graft] def substringDupFrom(docsDf: DataFrame, w: Int): DataFrame = {
+    val d = docsDf.select(col("doc_id"), toks.as("t"))
+    val dims = d.select(col("doc_id"), size(col("t")).as("dl"),
+      greatest(size(col("t")) - lit(w - 1), lit(0)).as("n_windows"))
+    val pos = windowFrame(docsDf, w).localCheckpoint()
     val dup = pos.groupBy("win").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("win")
     val perDoc = pos.join(dup, "win")
@@ -844,6 +852,101 @@ object TextOps {
        |            ELSE round(coalesce(c.cov, 0) / CAST(d.dl AS DOUBLE), 4) END
        |            AS DOUBLE) AS dup_token_frac
        |FROM dims d LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- substring dedup (removal)
+
+  /** The ACTIONABLE twin of [[substringDup]] — the substring-dedup
+    * removal pass itself (Lee et al. 2022 cut all but one occurrence
+    * of every duplicated span; q56 only measures what this cuts):
+    * for each duplicated w-token window the canonical occurrence is
+    * the lexicographically smallest (doc_id, pos); every OTHER
+    * occurrence marks its token span [pos, pos+w) for removal, and
+    * the cleaned doc is its surviving tokens in position order.
+    * Output per doc: token count, removed-token count, cleaned text
+    * (whitespace-normalized — all integer/string columns, so the
+    * cross-engine gate is trivially bit-stable).
+    *
+    * Scale shape — fully relational, no per-row quadratic step: the
+    * shared [[windowFrame]] (one row per corpus token) → per-window
+    * count + min-struct canonical (ONE map-side-combinable aggregate,
+    * no Window node) → non-canonical occurrences explode w drop
+    * positions each (≤ w× corpus tokens, w a small constant) → LEFT
+    * ANTI join against the posexploded token frame (the dedup itself)
+    * → per-doc sort-collect rebuild. A naive per-doc mask loop would
+    * be O(len·drops) per row — the tail doc (fully duplicated, 10k
+    * tokens) turns quadratic; the anti-join shape stays linear in
+    * corpus tokens no matter how duplicated one document is.
+    */
+  def substringDedup(spark: SparkSession, sfDir: String,
+      w: Int = SubstringWindow): DataFrame =
+    substringDedupFrom(docs(spark, sfDir), w)
+
+  private[graft] def substringDedupFrom(docsDf: DataFrame, w: Int): DataFrame = {
+    val pos = windowFrame(docsDf, w).localCheckpoint()
+    val canon = pos.groupBy("win")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("c") >= 2)
+      .select(col("win"), col("canon"))
+    // duplicate right-side keys are harmless under an anti join, so
+    // the overlapping drop spans need no distinct() shuffle
+    val dropPos = pos.join(canon, "win")
+      .filter(!(col("doc_id") === col("canon.doc_id") &&
+        col("pos") === col("canon.pos")))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("p"))
+    val tokPos = docsDf
+      .select(col("doc_id"), posexplode(toks).as(Seq("p", "tok")))
+    val kept = tokPos.join(dropPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    docsDf.select(col("doc_id"), size(toks).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id").cast("long"),
+        col("n_tokens").cast("long"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  def substringDedupOracleSql(w: Int = SubstringWindow): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+       |  FROM documents
+       |),
+       |p AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+${w - 1}], ' ') AS win
+       |  FROM t, unnest(range(1, len(t) - $w + 2)) AS r(i)
+       |  WHERE len(t) >= $w
+       |),
+       |c AS (SELECT win, min(doc_id) AS cd FROM p GROUP BY win HAVING count(*) >= 2),
+       |c2 AS (SELECT p.win, c.cd, min(p.pos) AS cp
+       |       FROM p JOIN c ON p.win = c.win AND p.doc_id = c.cd
+       |       GROUP BY p.win, c.cd),
+       |drops AS (
+       |  SELECT p.doc_id, r.pp AS pp
+       |  FROM p JOIN c2 USING (win), unnest(range(p.pos, p.pos + $w)) AS r(pp)
+       |  WHERE NOT (p.doc_id = c2.cd AND p.pos = c2.cp)
+       |),
+       |tok AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+       |        FROM t, unnest(range(1, len(t) + 1)) AS r(i)),
+       |kept AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY p) AS clean_text
+       |  FROM tok k
+       |  WHERE NOT EXISTS (SELECT 1 FROM drops d
+       |                    WHERE d.doc_id = k.doc_id AND d.pp = k.p)
+       |  GROUP BY doc_id
+       |)
+       |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       |       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |       CAST(len(t.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       |       coalesce(k.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- stratified sampling
 
@@ -963,4 +1066,63 @@ object TextOps {
        |       ELSE round(a.u / CAST(a.n AS DOUBLE), 4) END AS DOUBLE) AS novelty
        |FROM (SELECT DISTINCT doc_id FROM documents) d
        |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- source overlap
+
+  /** Cross-source contamination matrix: for every pair of sources,
+    * the count of 3-token shingles both emit and the Jaccard of their
+    * shingle vocabularies — the crawl-curation audit that says WHICH
+    * feeds duplicate each other (mirror sites, syndication networks)
+    * before any per-document pass runs. Pairs with zero shared
+    * shingles are omitted (their Jaccard is 0 by definition and at
+    * web scale the absent-pair set is the quadratic bulk).
+    *
+    * Scale shape: the pair space is SOURCES², not documents² — a
+    * catalog-sized constant (a crawl has thousands of feeds, not
+    * billions). Distinct (source, shingle) via one hash-agg, then a
+    * self equi-join on shingle whose per-key output is bounded by
+    * sources² regardless of how many documents share the shingle —
+    * the unbounded-df hazard of the q13 doc-level join does not exist
+    * here, so no df cap is needed. AQE's skew split handles the
+    * all-sources boilerplate shingles.
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Corpus.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val e = docShingles(spark, sfDir).join(src, "doc_id")
+      .select(col("source"), explode(col("shingles")).as("shingle"))
+      .distinct()
+      .localCheckpoint() // feeds totals + both join sides; one derivation
+    val tot = e.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = e.as("a").join(e.as("b"), "shingle")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(tot.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(tot.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared").cast("long"),
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4)
+          .cast("double").as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceOverlapOracleSql: String =
+    s"""WITH sh AS ($duckShinglesSql),
+       |e AS (
+       |  SELECT DISTINCT d.source, s.shingle
+       |  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) s
+       |  JOIN documents d USING (doc_id)
+       |),
+       |tot AS (SELECT source, count(*) AS n FROM e GROUP BY source),
+       |shared AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+       |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY a.source, b.source
+       |)
+       |SELECT s.src_a, s.src_b, CAST(s.shared AS BIGINT) AS shared,
+       |       CAST(round(s.shared / (ta.n + tb.n - s.shared), 4) AS DOUBLE) AS jaccard
+       |FROM shared s
+       |JOIN tot ta ON ta.source = s.src_a
+       |JOIN tot tb ON tb.source = s.src_b
+       |ORDER BY src_a, src_b""".stripMargin
 }

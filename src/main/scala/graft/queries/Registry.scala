@@ -95,7 +95,14 @@ object Registry {
     "q57_sample_mix" -> ((s, dir) => graft.operators.TextOps.sampleMix(s, dir)),
     // corpus-level boilerplate/novelty signal: mean shingle df +
     // unique-shingle fraction per doc
-    "q58_shingle_novelty" -> ((s, dir) => graft.operators.TextOps.shingleNovelty(s, dir))
+    "q58_shingle_novelty" -> ((s, dir) => graft.operators.TextOps.shingleNovelty(s, dir)),
+    // the substring-dedup REMOVAL pass (q56 measures; this cuts):
+    // canonical occurrence survives, every other duplicated span is
+    // dropped, cleaned text rebuilt in position order
+    "q59_substring_dedup" -> ((s, dir) => graft.operators.TextOps.substringDedup(s, dir)),
+    // cross-source contamination matrix: shared shingles + vocabulary
+    // Jaccard per source pair
+    "q60_source_overlap" -> ((s, dir) => graft.operators.TextOps.sourceOverlap(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -192,6 +199,8 @@ object Registry {
     "q55_repetition" -> graft.operators.TextOps.repetitionOracleSql,
     "q56_substring_dup" -> graft.operators.TextOps.substringDupOracleSql(),
     "q57_sample_mix" -> graft.operators.TextOps.sampleMixOracleSql,
-    "q58_shingle_novelty" -> graft.operators.TextOps.shingleNoveltyOracleSql
+    "q58_shingle_novelty" -> graft.operators.TextOps.shingleNoveltyOracleSql,
+    "q59_substring_dedup" -> graft.operators.TextOps.substringDedupOracleSql(),
+    "q60_source_overlap" -> graft.operators.TextOps.sourceOverlapOracleSql
   )
 }

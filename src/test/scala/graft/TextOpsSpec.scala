@@ -299,4 +299,115 @@ class TextOpsSpec extends AnyFunSuite {
         s"$nm count aggregation is not map-side combined")
     }
   }
+
+  /** Golden canonical-removal model for [[TextOps.substringDedup]]:
+    * per duplicated w-window the lexicographically smallest
+    * (doc_id, pos) occurrence survives; every other occurrence drops
+    * its [pos, pos+w) span; the cleaned doc is the kept tokens in
+    * position order.
+    */
+  private def dedupGolden(rows: Seq[(Long, String)], w: Int): Seq[(Long, Long, Long, String)] = {
+    def toks(s: String) = s.toLowerCase.split(" ").filter(_.nonEmpty).toVector
+    val tokd = rows.map { case (id, tx) => (id, toks(tx)) }
+    val occ = tokd.flatMap { case (id, t) =>
+      if (t.length >= w) (0 to t.length - w).map(p => (t.slice(p, p + w).mkString(" "), id, p))
+      else Seq.empty
+    }
+    val byWin = occ.groupBy(_._1).filter(_._2.size >= 2)
+    val drops: Map[Long, Set[Int]] = byWin.values.toSeq.flatMap { os =>
+      val canon = os.map(o => (o._2, o._3)).min
+      os.collect { case (_, id, p) if (id, p) != canon =>
+        (p until p + w).map(pp => (id, pp)) }.flatten
+    }.groupBy(_._1).map { case (id, ps) => (id, ps.map(_._2).toSet) }
+    tokd.map { case (id, t) =>
+      val drop = drops.getOrElse(id, Set.empty)
+      val kept = t.zipWithIndex.collect { case (tok, p) if !drop(p) => tok }
+      (id, t.length.toLong, (t.length - kept.length).toLong, kept.mkString(" "))
+    }.sortBy(_._1)
+  }
+
+  test("substring dedup ≡ golden canonical-removal model; overlapping spans union") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val w = TextOps.SubstringWindow
+    // docs 1/2 share doc 1's opening window (doc 1 also self-repeats it);
+    // docs 5/6 share a 6-token run → two OVERLAPPING duplicated windows;
+    // doc 3 is below the window width; doc 4 is empty
+    val tinyRows = Seq(
+      (1L, "a b c d e f a b c d e"),
+      (2L, "a b c d e x y z w v"),
+      (3L, "p q r s"),
+      (4L, ""),
+      (5L, "k l m n o p q r"),
+      (6L, "z k l m n o p y"))
+    val got = TextOps.substringDedupFrom(tinyRows.toDF("doc_id", "text"), w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == dedupGolden(tinyRows, w), s"got $got")
+    // pinned semantics: doc 1 keeps its canonical occurrence and loses the
+    // self-repeat; doc 2 loses the shared opening; doc 6's two overlapping
+    // drop spans UNION (6 tokens removed, not 10)
+    assert(got(0) == ((1L, 11L, 5L, "a b c d e f")))
+    assert(got(1) == ((2L, 10L, 5L, "x y z w v")))
+    assert(got(2) == ((3L, 4L, 0L, "p q r s")))
+    assert(got(3) == ((4L, 0L, 0L, "")))
+    assert(got(5) == ((6L, 8L, 6L, "z y")))
+    // and the fixture agrees row-for-row with the golden model
+    val fixRows = graft.corpus.Corpus.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val gotFix = TextOps.substringDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(gotFix == dedupGolden(fixRows, w))
+    assert(gotFix.exists(_._3 > 0), "fixture must contain removable duplicated spans")
+    // consistency with the MEASUREMENT pass: a doc loses tokens to the
+    // dedup iff q56 reported duplicated coverage, unless it is the sole
+    // canonical holder of all its duplicated windows
+    val dup = TextOps.substringDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    gotFix.foreach { case (id, _, removed, _) =>
+      assert(removed == 0 || dup(id) > 0.0,
+        s"doc $id lost tokens but q56 saw no duplicated coverage") }
+  }
+
+  test("source overlap ≡ golden jaccard model; zero-shingle pairs omitted") {
+    val spark = TestSpark.spark
+    def shingles(text: String): Set[String] = {
+      val t = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bySrc = graft.corpus.Corpus.documents(spark, dir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), shingles(r.getString(1)))).toSeq
+      .groupBy(_._1).map { case (s, g) => (s, g.flatMap(_._2).toSet) }
+    val want = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+      shared = (bySrc(a) & bySrc(b)).size if shared > 0
+    } yield (a, b, shared.toLong,
+        r4(shared.toDouble / (bySrc(a).size + bySrc(b).size - shared))))
+      .toSeq.sortBy(p => (p._1, p._2))
+    val got = TextOps.sourceOverlap(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want, s"got $got")
+    // non-degenerate: the fixture's sources share boilerplate but are not
+    // mirrors — at least one pair overlaps, none at jaccard 1.0
+    assert(got.nonEmpty, "the fixture's sources must share some shingles")
+    assert(got.forall(_._4 < 1.0), "no source pair should be a full mirror")
+  }
+
+  test("dedup / source-overlap plans: pair-free in documents, partial-aggregated") {
+    val spark = TestSpark.spark
+    for ((nm, df) <- Seq(
+        ("substringDedup", TextOps.substringDedup(spark, dir)),
+        ("sourceOverlap", TextOps.sourceOverlap(spark, dir)))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // q60's self-join is an equi-join on shingle (output ≤ sources² per
+      // key); q59's are equi/anti joins on (win) and (doc_id, p) — neither
+      // may plan a cartesian or nested-loop node
+      assert(!plan.contains("CartesianProduct"), s"$nm plan has a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$nm plan has a nested-loop join")
+      assert(plan.contains("partial_count") || plan.contains("partial count"),
+        s"$nm count aggregation is not map-side combined")
+    }
+  }
 }
