@@ -234,7 +234,8 @@ object Bench {
       "q44_ann_persisted", "q45_sq_ivf_persisted", "q46_searchbatch_external",
       "q47_ivf_f64_persisted", "q48_closestpair_lsh", "q49_neardup_lsh",
       "q52_stream_dedup", "q53_dup_clusters", "q56_substring_dup",
-      "q58_shingle_novelty")
+      "q58_shingle_novelty", "q59_substring_dedup", "q60_source_overlap",
+      "q61_url_dedup", "q62_capture_diff")
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     def opOnce(name: String): Unit =
       SparkEntry.queries.get(name).foreach { fn =>

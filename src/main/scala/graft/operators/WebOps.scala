@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.corpus.Corpus
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl-curation operators over the north-rule page shape (url,
+  * warc_ts, …): URL canonicalization + capture dedup, and re-crawl
+  * change detection. These are the URL-keyed complement of the
+  * content-keyed dedup family in [[TextOps]] (the reference's neardup
+  * assigns items to a COVER element, /root/reference/src/neardup.jl:40-118;
+  * here the cover key is the canonical URL and the kept element is the
+  * newest capture — the standard crawl rule).
+  *
+  * The fixture corpus has exactly one clean URL per document
+  * ([[Corpus.pages]]), so the messy reality these operators exist for —
+  * tracking parameters, shouting hosts, default ports, fragments,
+  * share-link trailing slashes, re-crawled captures — is synthesized
+  * DETERMINISTICALLY per row by [[captures]] (pure function of doc_id;
+  * the DuckDB oracles rebuild the identical capture set in SQL).
+  *
+  * Scale shapes: canonicalization is per-row codegen'd string/regex
+  * built-ins (no UDF, no shuffle); both operators then take ONE
+  * map-side-combinable hash aggregation keyed by canonical URL. No
+  * joins, no windows, no pair space — at 10^12 captures the only
+  * shuffle is the per-URL aggregate, and URL keys are near-unique so
+  * there is no skew to salt.
+  */
+object WebOps {
+
+  /** Deterministic crawl-capture synthesis: for every document the
+    * clean base capture, plus for doc_id % 3 == 0 a LATER re-crawl
+    * (+1 day) through a shouting-case host, explicit default port,
+    * tracking query and fragment — with CHANGED content — and for
+    * doc_id % 5 == 0 a share-link capture (+1 hour; trailing slash +
+    * ref param, same content). Columns: doc_id, url, ts (epoch
+    * seconds), text.
+    */
+  def captures(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Corpus.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val h = (col("doc_id") % 10).cast("string")
+    val id = col("doc_id").cast("string")
+    val e = lit(Corpus.WarcEpochSeconds)
+    val base = d.select(col("doc_id"),
+      concat(lit("https://host"), h, lit(".example/p"), id).as("url"),
+      (e + col("doc_id")).cast("long").as("ts"), col("text"))
+    val recrawl = d.filter(col("doc_id") % 3 === 0).select(col("doc_id"),
+      concat(lit("HTTPS://HOST"), h, lit(".EXAMPLE:443/p"), id,
+        lit("?utm_source=rss&utm_medium=feed#top")).as("url"),
+      (e + col("doc_id") + 86400).cast("long").as("ts"),
+      concat(col("text"), lit(" updated")).as("text"))
+    val shared = d.filter(col("doc_id") % 5 === 0).select(col("doc_id"),
+      concat(lit("https://host"), h, lit(".example/p"), id,
+        lit("/?ref=share")).as("url"),
+      (e + col("doc_id") + 3600).cast("long").as("ts"), col("text"))
+    base.unionByName(recrawl).unionByName(shared)
+  }
+
+  /** The same capture set as a DuckDB CTE body (over `documents`). */
+  private def capturesSql: String = {
+    val e = Corpus.WarcEpochSeconds
+    s"""SELECT doc_id,
+       |       'https://host' || CAST(doc_id % 10 AS VARCHAR) || '.example/p' ||
+       |         CAST(doc_id AS VARCHAR) AS url,
+       |       CAST($e + doc_id AS BIGINT) AS ts, text
+       |FROM documents
+       |UNION ALL
+       |SELECT doc_id,
+       |       'HTTPS://HOST' || CAST(doc_id % 10 AS VARCHAR) || '.EXAMPLE:443/p' ||
+       |         CAST(doc_id AS VARCHAR) || '?utm_source=rss&utm_medium=feed#top',
+       |       CAST($e + doc_id + 86400 AS BIGINT), text || ' updated'
+       |FROM documents WHERE doc_id % 3 = 0
+       |UNION ALL
+       |SELECT doc_id,
+       |       'https://host' || CAST(doc_id % 10 AS VARCHAR) || '.example/p' ||
+       |         CAST(doc_id AS VARCHAR) || '/?ref=share',
+       |       CAST($e + doc_id + 3600 AS BIGINT), text
+       |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+  }
+
+  /** URL canonicalization, the industry-standard normalizations that
+    * never change what a well-behaved server serves:
+    * scheme+authority lowercased (path/query case is preserved — it is
+    * significant), default port stripped (:443 on https, :80 on http),
+    * fragment stripped, tracking parameters removed (utm_*, ref) with
+    * separator cleanup, trailing path slashes dropped. Pure per-row
+    * built-ins (regexp is RE2-compatible: no lookarounds, no backrefs,
+    * so the DuckDB twin is the same pattern text).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val pre0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val rest0 = u.substr(length(pre0) + lit(1), length(u))
+    val preLo = lower(pre0)
+    val pre = when(preLo.startsWith("https://"),
+        regexp_replace(preLo, ":443$", ""))
+      .otherwise(regexp_replace(preLo, ":80$", ""))
+    val noFrag = regexp_replace(rest0, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, "(utm_[a-z]+|ref)=[^&#]*", "")
+    val tidy = regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "&&+", "&"), "\\?&+", "?"),
+      "[?&]+$", "")
+    val noSlash = regexp_replace(regexp_replace(tidy, "/+\\?", "?"), "/+$", "")
+    concat(pre, noSlash)
+  }
+
+  /** The identical chain as DuckDB SQL over a column named `url`
+    * (DuckDB regexp_replace is first-match unless flagged 'g'; Spark's
+    * is always global — flags added where a pattern can hit twice).
+    */
+  private val canonicalizeSqlSteps: String =
+    """c1 AS (SELECT *, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS pre,
+      |              substr(url, length(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS rest
+      |       FROM cap),
+      |c2 AS (SELECT * EXCLUDE (pre, rest),
+      |              CASE WHEN lower(pre) LIKE 'https://%'
+      |                   THEN regexp_replace(lower(pre), ':443$', '')
+      |                   ELSE regexp_replace(lower(pre), ':80$', '') END AS pre,
+      |              regexp_replace(rest, '#.*$', '') AS rest
+      |       FROM c1),
+      |c3 AS (SELECT * EXCLUDE (rest),
+      |              regexp_replace(rest, '(utm_[a-z]+|ref)=[^&#]*', '', 'g') AS rest
+      |       FROM c2),
+      |c4 AS (SELECT * EXCLUDE (rest),
+      |              regexp_replace(regexp_replace(regexp_replace(rest, '&&+', '&', 'g'), '\?&+', '?'), '[?&]+$', '') AS rest
+      |       FROM c3),
+      |canon AS (SELECT * EXCLUDE (url, pre, rest),
+      |                 pre || regexp_replace(regexp_replace(rest, '/+\?', '?'), '/+$', '') AS url
+      |          FROM c4)""".stripMargin
+
+  /** q61: URL-canonicalization dedup — one surviving capture per
+    * canonical URL, the NEWEST by warc_ts (crawl freshness rule).
+    * Output per canonical URL: owning doc, capture count, kept
+    * timestamp. All integer/string columns — bit-stable by
+    * construction.
+    */
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame =
+    captures(spark, sfDir)
+      .select(col("doc_id"), canonicalizeUrl(col("url")).as("url"), col("ts"))
+      .groupBy("url")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_captures"),
+        max("ts").as("kept_ts"))
+      .select(col("doc_id").cast("long"), col("url"),
+        col("n_captures").cast("long"), col("kept_ts").cast("long"))
+      .orderBy("doc_id")
+
+  def urlDedupOracleSql: String =
+    s"""WITH cap AS ($capturesSql),
+       |$canonicalizeSqlSteps
+       |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, url,
+       |       CAST(count(*) AS BIGINT) AS n_captures,
+       |       CAST(max(ts) AS BIGINT) AS kept_ts
+       |FROM canon GROUP BY url ORDER BY doc_id""".stripMargin
+
+  /** q62: re-crawl change detection — per canonical URL the capture
+    * count, the number of DISTINCT content versions (by content hash),
+    * and the capture-time span. n_versions > 1 is the freshness
+    * signal: the page changed between crawls, so only the kept-newest
+    * text should enter training data (q61 performs that cut).
+    */
+  def captureDiff(spark: SparkSession, sfDir: String): DataFrame =
+    captures(spark, sfDir)
+      .select(col("doc_id"), canonicalizeUrl(col("url")).as("url"),
+        col("ts"), md5(col("text")).as("h"))
+      .groupBy("url")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_captures"),
+        countDistinct(col("h")).as("n_versions"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .select(col("doc_id").cast("long"), col("url"),
+        col("n_captures").cast("long"), col("n_versions").cast("long"),
+        col("first_ts").cast("long"), col("last_ts").cast("long"))
+      .orderBy("doc_id")
+
+  def captureDiffOracleSql: String =
+    s"""WITH cap AS ($capturesSql),
+       |$canonicalizeSqlSteps
+       |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, url,
+       |       CAST(count(*) AS BIGINT) AS n_captures,
+       |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_versions,
+       |       CAST(min(ts) AS BIGINT) AS first_ts,
+       |       CAST(max(ts) AS BIGINT) AS last_ts
+       |FROM canon GROUP BY url ORDER BY doc_id""".stripMargin
+}

@@ -102,7 +102,13 @@ object Registry {
     "q59_substring_dedup" -> ((s, dir) => graft.operators.TextOps.substringDedup(s, dir)),
     // cross-source contamination matrix: shared shingles + vocabulary
     // Jaccard per source pair
-    "q60_source_overlap" -> ((s, dir) => graft.operators.TextOps.sourceOverlap(s, dir))
+    "q60_source_overlap" -> ((s, dir) => graft.operators.TextOps.sourceOverlap(s, dir)),
+    // URL-canonicalization dedup over a deterministic messy-capture
+    // synthesis: keep the newest capture per canonical URL
+    "q61_url_dedup" -> ((s, dir) => graft.operators.WebOps.urlDedup(s, dir)),
+    // re-crawl change detection: captures / distinct content versions /
+    // capture-time span per canonical URL
+    "q62_capture_diff" -> ((s, dir) => graft.operators.WebOps.captureDiff(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -201,6 +207,8 @@ object Registry {
     "q57_sample_mix" -> graft.operators.TextOps.sampleMixOracleSql,
     "q58_shingle_novelty" -> graft.operators.TextOps.shingleNoveltyOracleSql,
     "q59_substring_dedup" -> graft.operators.TextOps.substringDedupOracleSql(),
-    "q60_source_overlap" -> graft.operators.TextOps.sourceOverlapOracleSql
+    "q60_source_overlap" -> graft.operators.TextOps.sourceOverlapOracleSql,
+    "q61_url_dedup" -> graft.operators.WebOps.urlDedupOracleSql,
+    "q62_capture_diff" -> graft.operators.WebOps.captureDiffOracleSql
   )
 }

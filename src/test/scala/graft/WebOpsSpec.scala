@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.WebOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL canonicalization + capture dedup / change detection: golden
+  * canonicalization cases, the keep-newest rule, version counting, and
+  * the single-aggregation plan shape.
+  */
+class WebOpsSpec extends AnyFunSuite {
+  private val dir = TestSpark.Sf0001
+  private val E = graft.corpus.Corpus.WarcEpochSeconds
+
+  test("canonicalizeUrl golden cases") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, default port, tracking params, fragment,
+      // trailing slash — the full gauntlet
+      "HTTPS://HOST3.EXAMPLE:443/p9?utm_source=rss&utm_medium=feed#top"
+        -> "https://host3.example/p9",
+      "https://host1.example/p21/?ref=share" -> "https://host1.example/p21",
+      // path case is significant and preserved
+      "https://Host.Example/CaseSensitive/Path" -> "https://host.example/CaseSensitive/Path",
+      // http default port; non-default port survives
+      "HTTP://a.example:80/x" -> "http://a.example/x",
+      "https://a.example:8443/x" -> "https://a.example:8443/x",
+      // a real (non-tracking) param survives, tracking neighbors go
+      "https://a.example/x?id=7&utm_campaign=z" -> "https://a.example/x?id=7",
+      "https://a.example/x?utm_campaign=z&id=7" -> "https://a.example/x?id=7",
+      // untouched urls stay untouched
+      "https://a.example/x?id=7" -> "https://a.example/x?id=7")
+    val got = cases.map(_._1).toDF("url")
+      .select(WebOps.canonicalizeUrl(col("url"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"canonicalization mismatch: $got")
+  }
+
+  test("urlDedup: one row per doc, newest capture kept, counts by residue") {
+    val spark = TestSpark.spark
+    val rows = WebOps.urlDedup(spark, dir).collect()
+    val n = graft.corpus.Corpus.documents(spark, dir).count()
+    assert(rows.length == n, "every doc keeps exactly one canonical url")
+    rows.foreach { r =>
+      val (id, url, caps, kept) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(url == s"https://host${id % 10}.example/p$id")
+      val expCaps = 1 + (if (id % 3 == 0) 1 else 0) + (if (id % 5 == 0) 1 else 0)
+      assert(caps == expCaps, s"doc $id captures")
+      // newest wins: re-crawl (+1d) > share link (+1h) > base
+      val expKept =
+        if (id % 3 == 0) E + id + 86400
+        else if (id % 5 == 0) E + id + 3600
+        else E + id
+      assert(kept == expKept, s"doc $id kept_ts")
+    }
+  }
+
+  test("captureDiff: versions flag exactly the re-crawled (changed) docs") {
+    val spark = TestSpark.spark
+    val rows = WebOps.captureDiff(spark, dir).collect()
+    rows.foreach { r =>
+      val (id, caps, vers, first, last) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val expVers = if (id % 3 == 0) 2 else 1
+      assert(vers == expVers, s"doc $id versions")
+      assert(first == E + id, s"doc $id first_ts is the base capture")
+      assert(last >= first && caps >= vers)
+    }
+  }
+
+  test("plan shape: per-row canonicalization + one aggregation, no joins") {
+    val spark = TestSpark.spark
+    for (df <- Seq(WebOps.urlDedup(spark, dir), WebOps.captureDiff(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), "no cartesian")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+        "no join anywhere — the capture union feeds one hash aggregate")
+      assert(!plan.contains("Window"), "no window node")
+    }
+  }
+}
