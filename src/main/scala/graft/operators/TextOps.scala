@@ -1125,4 +1125,116 @@ object TextOps {
        |JOIN tot ta ON ta.source = s.src_a
        |JOIN tot tb ON tb.source = s.src_b
        |ORDER BY src_a, src_b""".stripMargin
+
+  // ---------------------------------------------------------------- line-level boilerplate removal
+
+  /** Body tokens per synthesized line (see [[lineFrame]]). */
+  val LineLen = 12
+
+  /** Corpus doc-frequency at or above which a line is boilerplate.
+    * At fixture scale each source holds ≥ 25 docs, so the synthesized
+    * per-source header/footer clears this while genuine body lines
+    * (df ≤ the exact-duplicate multiplicity, 2–3) never do.
+    */
+  val BoilerplateDf = 10
+
+  /** Deterministic line synthesis: the fixture text is one flat token
+    * run, so the line structure this operator exists for — a shared
+    * per-source header and footer around distinct body lines — is
+    * rebuilt per row as a pure function of (doc_id, source, text): one
+    * subscribe-header, the body chunked into [[LineLen]]-token lines,
+    * one copyright-footer. The DuckDB oracle reconstructs the identical
+    * frame. Output: (doc_id, pos, line), one row per line occurrence.
+    */
+  private def lineFrame(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .select(col("doc_id"),
+        concat(
+          array(concat(lit("subscribe to the "), col("source"), lit(" newsletter"))),
+          when(size(col("t")) > 0, expr(
+            s"transform(sequence(1, (size(t) + ${LineLen - 1}) div $LineLen), " +
+              s"i -> concat_ws(' ', slice(t, (i - 1) * $LineLen + 1, $LineLen)))"))
+            .otherwise(expr("array()").cast("array<string>")),
+          array(concat(lit("copyright "), col("source"), lit(" all rights reserved"))))
+          .as("lines"))
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+
+  /** q64: line-frequency boilerplate removal — the CCNet/RefinedWeb
+    * line-dedup pass: a line occurring in ≥ [[BoilerplateDf]] distinct
+    * documents is boilerplate (navigation, subscribe prompts,
+    * copyright footers) and every occurrence is cut; the cleaned doc
+    * is its surviving lines in order. Complements [[substringDedup]]
+    * (which keeps one canonical occurrence of long duplicated SPANS):
+    * boilerplate lines are short, line-aligned, and wanted ZERO times.
+    *
+    * Scale shape: line synthesis is per-row; the doc-frequency pass is
+    * ONE hash aggregation keyed by line (count-distinct doc_id — the
+    * partial-agg two-phase shape); the boilerplate set joins back via
+    * LEFT ANTI on the line frame (join output bounded by corpus lines
+    * — never pairwise), then a per-doc sort-collect rebuild, the same
+    * fold as [[substringDedup]]. The boilerplate relation is
+    * corpus-relatively tiny (each member is by definition shared by
+    * ≥ [[BoilerplateDf]] docs, so it has ≤ lines/df members) but can be
+    * absolutely large at 10^12 docs, so it is NOT force-broadcast —
+    * AQE decides, exactly the [[EdgeBroadcastCap]] reasoning. A single
+    * mega-hot line (a site-wide footer) skews only the count aggregate,
+    * which the map-side partials absorb.
+    */
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame =
+    lineDedupFrom(Corpus.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  private[graft] def lineDedupFrom(docsDf: DataFrame): DataFrame = {
+    val lf = lineFrame(docsDf).localCheckpoint() // feeds df pass + anti join
+    val boiler = lf.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerplateDf)
+      .select("line")
+    val kept = lf.join(boiler, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"))
+    lf.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id").cast("long"),
+        col("n_lines").cast("long"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  def lineDedupOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+       |  FROM documents
+       |),
+       |l AS (
+       |  SELECT doc_id,
+       |    ['subscribe to the ' || source || ' newsletter'] ||
+       |    [array_to_string(t[(i - 1) * $LineLen + 1 : i * $LineLen], ' ')
+       |     FOR i IN range(1, (len(t) + ${LineLen - 1}) // $LineLen + 1)] ||
+       |    ['copyright ' || source || ' all rights reserved'] AS lines
+       |  FROM t
+       |),
+       |lf AS (SELECT doc_id, i - 1 AS pos, lines[i] AS line
+       |       FROM l, unnest(range(1, len(lines) + 1)) AS r(i)),
+       |b AS (SELECT line FROM lf GROUP BY line
+       |      HAVING count(DISTINCT doc_id) >= $BoilerplateDf),
+       |kept AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+       |  FROM lf WHERE line NOT IN (SELECT line FROM b)
+       |  GROUP BY doc_id
+       |),
+       |dims AS (SELECT doc_id, count(*) AS n_lines FROM lf GROUP BY doc_id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |       CAST(d.n_lines AS BIGINT) AS n_lines,
+       |       CAST(d.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped,
+       |       coalesce(k.clean_text, '') AS clean_text
+       |FROM dims d LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin
 }

@@ -179,4 +179,104 @@ object WebOps {
        |       CAST(min(ts) AS BIGINT) AS first_ts,
        |       CAST(max(ts) AS BIGINT) AS last_ts
        |FROM canon GROUP BY url ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- PII scrub
+
+  /** PII patterns, shared verbatim by the Spark columns and the DuckDB
+    * oracle (RE2-compatible subset: no lookarounds, no backrefs —
+    * `\b`/`\d`/bounded `{m,n}` parse identically in Java regex and
+    * RE2). Greedy `+` backtracking and leftmost-first alternation
+    * agree between the engines on these patterns because no pattern
+    * contains an alternation whose branches overlap.
+    */
+  val EmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhoneRe = """\+1-555-\d{4}"""
+
+  /** Deterministic PII-laced text: every doc gains a contact email,
+    * doc_id % 4 == 0 a second email, doc_id % 3 == 0 an IPv4 server
+    * line, doc_id % 5 == 0 a phone number — pure function of
+    * (doc_id, text), rebuilt identically by [[piiTextSql]]. The fixture
+    * text itself contains no digits or '@' (verified against the
+    * generator output), so the synthesized occurrences are exactly the
+    * pattern population.
+    */
+  private def piiText: Column = {
+    val id = col("doc_id").cast("string")
+    concat(col("text"),
+      lit(" contact user"), id, lit("@mail"),
+      (col("doc_id") % 10).cast("string"), lit(".example for details"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" or admin"), id, lit("@ops.example"))).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" server 10."), (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"), lit("."),
+          (col("doc_id") % 254 + 1).cast("string"), lit(" logged")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+  }
+
+  /** The identical synthesis as a DuckDB expression over `documents`. */
+  private def piiTextSql: String =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+      |  CAST(doc_id % 10 AS VARCHAR) || '.example for details' ||
+      |  CASE WHEN doc_id % 4 = 0
+      |       THEN ' or admin' || CAST(doc_id AS VARCHAR) || '@ops.example' ELSE '' END ||
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |            CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+      |            CAST(doc_id % 254 + 1 AS VARCHAR) || ' logged' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |       ELSE '' END""".stripMargin
+
+  /** q63: PII redaction — the standard pre-training scrub (emails,
+    * IPv4 addresses, phone numbers replaced by typed placeholder
+    * tokens, with per-type counts for the removal report). The
+    * reference curates vector corpora, not text, so this operator is
+    * pure pipeline surface; its redaction rule is the C4/FineWeb
+    * class: regex-match, replace with a stable token, count what was
+    * cut.
+    *
+    * Scale shape: entirely per-row codegen'd regexp built-ins — no
+    * UDF, no join, no aggregate, no shuffle beyond the final orderBy
+    * (which exists only for the oracle gate; the pipeline form is the
+    * unordered projection). At 10^12 docs this is a map-only pass that
+    * fuses into whatever scan feeds it. Scrub order (email → ip →
+    * phone) is fixed but immaterial: the patterns cannot overlap, and
+    * counts are taken on the PRE-scrub text.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    Corpus.documents(spark, sfDir)
+      .select(col("doc_id"), piiText.as("pii"))
+      .select(col("doc_id").cast("long"),
+        size(regexp_extract_all(col("pii"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("pii"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ip"),
+        size(regexp_extract_all(col("pii"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phone"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("pii"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>").as("clean_text"))
+      .orderBy("doc_id")
+
+  /** DuckDB twin (regexp_replace needs the 'g' flag — DuckDB is
+    * first-match by default where Spark is always global).
+    */
+  def piiScrubOracleSql: String =
+    s"""WITH pii AS (SELECT doc_id, $piiTextSql AS pii FROM documents)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(len(regexp_extract_all(pii, '$EmailRe')) AS BIGINT) AS n_email,
+       |       CAST(len(regexp_extract_all(pii, '$Ipv4Re')) AS BIGINT) AS n_ip,
+       |       CAST(len(regexp_extract_all(pii, '$PhoneRe')) AS BIGINT) AS n_phone,
+       |       regexp_replace(regexp_replace(regexp_replace(pii,
+       |         '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+       |         '$PhoneRe', '<PHONE>', 'g') AS clean_text
+       |FROM pii ORDER BY doc_id""".stripMargin
 }

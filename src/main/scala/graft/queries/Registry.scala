@@ -108,7 +108,13 @@ object Registry {
     "q61_url_dedup" -> ((s, dir) => graft.operators.WebOps.urlDedup(s, dir)),
     // re-crawl change detection: captures / distinct content versions /
     // capture-time span per canonical URL
-    "q62_capture_diff" -> ((s, dir) => graft.operators.WebOps.captureDiff(s, dir))
+    "q62_capture_diff" -> ((s, dir) => graft.operators.WebOps.captureDiff(s, dir)),
+    // PII redaction over deterministically PII-laced text: typed
+    // placeholder substitution + per-type removal counts, map-only
+    "q63_pii_scrub" -> ((s, dir) => graft.operators.WebOps.piiScrub(s, dir)),
+    // line-frequency boilerplate removal (CCNet-style): lines in
+    // >= BoilerplateDf distinct docs cut everywhere, docs rebuilt
+    "q64_line_dedup" -> ((s, dir) => graft.operators.TextOps.lineDedup(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -209,6 +215,8 @@ object Registry {
     "q59_substring_dedup" -> graft.operators.TextOps.substringDedupOracleSql(),
     "q60_source_overlap" -> graft.operators.TextOps.sourceOverlapOracleSql,
     "q61_url_dedup" -> graft.operators.WebOps.urlDedupOracleSql,
-    "q62_capture_diff" -> graft.operators.WebOps.captureDiffOracleSql
+    "q62_capture_diff" -> graft.operators.WebOps.captureDiffOracleSql,
+    "q63_pii_scrub" -> graft.operators.WebOps.piiScrubOracleSql,
+    "q64_line_dedup" -> graft.operators.TextOps.lineDedupOracleSql
   )
 }

@@ -410,4 +410,48 @@ class TextOpsSpec extends AnyFunSuite {
         s"$nm count aggregation is not map-side combined")
     }
   }
+
+  test("line dedup ≡ golden boilerplate model; only df≥threshold lines cut") {
+    val spark = TestSpark.spark
+    val docs = graft.corpus.Corpus.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // golden model: same line synthesis, line→distinct-doc counts,
+    // drop every occurrence of a line at or above the threshold
+    def lines(source: String, text: String): Seq[String] = {
+      val t = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val body = t.grouped(TextOps.LineLen).map(_.mkString(" ")).toSeq
+      (s"subscribe to the $source newsletter" +: body) :+
+        s"copyright $source all rights reserved"
+    }
+    val df = scala.collection.mutable.Map[String, Set[Long]]()
+    for ((id, src, text) <- docs; l <- lines(src, text).distinct)
+      df(l) = df.getOrElse(l, Set.empty) + id
+    val boiler = df.collect {
+      case (l, ds) if ds.size >= TextOps.BoilerplateDf => l }.toSet
+    assert(boiler.nonEmpty, "per-source header/footer must clear the threshold")
+    val gold = docs.map { case (id, src, text) =>
+      val ls = lines(src, text)
+      val kept = ls.filterNot(boiler)
+      id -> (ls.length.toLong, (ls.length - kept.length).toLong,
+        kept.mkString("\n"))
+    }.toMap
+    val got = TextOps.lineDedup(spark, dir).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (nl, nd, ct) = gold(r.getLong(0))
+      assert(r.getLong(1) == nl && r.getLong(2) == nd,
+        s"doc ${r.getLong(0)}: counts ${r.getLong(1)}/${r.getLong(2)} vs gold $nl/$nd")
+      assert(r.getString(3) == ct, s"doc ${r.getLong(0)} clean_text mismatch")
+      // header/footer never survive; every doc loses at least both
+      assert(!r.getString(3).contains("subscribe to the") &&
+        !r.getString(3).contains("copyright"))
+      assert(r.getLong(2) >= 2)
+    }
+    // plan shape: anti/left equi-joins only, no pair space, no window
+    val plan = TextOps.lineDedup(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "line dedup plan is pair-free")
+    assert(!plan.contains("Window"), "no window node")
+  }
 }

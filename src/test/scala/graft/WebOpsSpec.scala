@@ -69,6 +69,34 @@ class WebOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pii scrub: counts by residue, placeholders substituted, nothing leaks") {
+    val spark = TestSpark.spark
+    val rows = WebOps.piiScrub(spark, dir).collect()
+    val n = graft.corpus.Corpus.documents(spark, dir).count()
+    assert(rows.length == n)
+    val ipRe = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}""".r
+    rows.foreach { r =>
+      val (id, ct) = (r.getLong(0), r.getString(4))
+      assert(r.getLong(1) == 1 + (if (id % 4 == 0) 1 else 0), s"doc $id emails")
+      assert(r.getLong(2) == (if (id % 3 == 0) 1 else 0), s"doc $id ips")
+      assert(r.getLong(3) == (if (id % 5 == 0) 1 else 0), s"doc $id phones")
+      // every planted item redacted, none of the raw forms survive
+      assert(!ct.contains("@") && !ct.contains("+1-555"), s"doc $id leaked: $ct")
+      assert(ipRe.findFirstIn(ct).isEmpty, s"doc $id leaked an ip")
+      assert(ct.contains("<EMAIL>"))
+      assert((id % 3 == 0) == ct.contains("<IP>"))
+      assert((id % 5 == 0) == ct.contains("<PHONE>"))
+    }
+  }
+
+  test("pii scrub plan: map-only — no join, no aggregate, no window") {
+    val spark = TestSpark.spark
+    val plan = WebOps.piiScrub(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate") &&
+      !plan.contains("Window"),
+      "pii scrub must stay a per-row projection (orderBy is the only exchange)")
+  }
+
   test("plan shape: per-row canonicalization + one aggregation, no joins") {
     val spark = TestSpark.spark
     for (df <- Seq(WebOps.urlDedup(spark, dir), WebOps.captureDiff(spark, dir))) {
