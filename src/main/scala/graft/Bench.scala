@@ -235,7 +235,8 @@ object Bench {
       "q47_ivf_f64_persisted", "q48_closestpair_lsh", "q49_neardup_lsh",
       "q52_stream_dedup", "q53_dup_clusters", "q56_substring_dup",
       "q58_shingle_novelty", "q59_substring_dedup", "q60_source_overlap",
-      "q61_url_dedup", "q62_capture_diff", "q63_pii_scrub", "q64_line_dedup")
+      "q61_url_dedup", "q62_capture_diff", "q63_pii_scrub", "q64_line_dedup",
+      "q65_clean_pipeline")
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     def opOnce(name: String): Unit =
       SparkEntry.queries.get(name).foreach { fn =>

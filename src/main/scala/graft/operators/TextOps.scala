@@ -1237,4 +1237,83 @@ object TextOps {
        |       CAST(d.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped,
        |       coalesce(k.clean_text, '') AS clean_text
        |FROM dims d LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- end-to-end clean pipeline
+
+  /** Quality floor / repetition cap for [[cleanPipeline]] — fixture
+    * dials (the fixture's quality range is 0.55–0.74 and its
+    * dup-2gram fractions top out near 0.13; production values — e.g.
+    * Gopher's 0.2 duplicate-2-gram cap — are the same dial turned for
+    * real web text).
+    */
+  val CleanQualityFloor = 0.6
+  val CleanRepetitionCap = 0.1
+
+  /** q65: the end-to-end corpus-cleaning verdict — the composition
+    * every training-data pipeline actually runs, stage by stage, with
+    * the FIRST failing stage as each document's drop reason:
+    * benchmark split-out → exact dedup (non-canonical copies) →
+    * fuzzy dedup (non-representative cluster members) → benchmark
+    * decontamination → quality floor → repetition cap → kept. Each
+    * stage IS the already-oracled operator (q12, q53, q54, q17, q55)
+    * — this query exists to prove the pieces compose into one plan,
+    * not to re-implement them.
+    *
+    * Scale shape: five stage frames joined on doc_id — every join is
+    * an equi-join on the corpus key (no pair space beyond what the
+    * member stages already bound), and the verdict is one per-row
+    * CASE. The expensive stages (LSH clustering, decontamination)
+    * keep their own documented shapes; composition adds only
+    * doc_id-keyed joins that AQE plans as broadcasts once the stage
+    * outputs are filtered small.
+    */
+  def cleanPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id").cast("long"))
+    val exact = dedupExact(spark, sfDir)
+    val clus = dupClusters(spark, sfDir)
+    val cont = decontaminate(spark, sfDir)
+    val qual = qualityScore(spark, sfDir).select(col("doc_id"), col("quality"))
+    val rep = repetition(spark, sfDir)
+      .select(col("doc_id"), col("dup_2gram_frac"))
+    d.join(exact, Seq("doc_id"))
+      .join(clus, Seq("doc_id"))
+      .join(cont, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") % BenchmarkIdStride === 0, lit("benchmark"))
+          .when(col("canonical_id") =!= col("doc_id"), lit("exact_dup"))
+          .when(col("cluster_id") =!= col("doc_id"), lit("near_dup"))
+          .when(coalesce(col("bench_hits"), lit(0L)) >= 1, lit("contaminated"))
+          .when(col("quality") < CleanQualityFloor, lit("low_quality"))
+          .when(col("dup_2gram_frac") > CleanRepetitionCap, lit("repetitive"))
+          .otherwise(lit("kept")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: the member queries' own oracle SQL, verbatim, as
+    * subqueries — the oracle composes exactly the way the operator
+    * does.
+    */
+  def cleanPipelineOracleSql: String =
+    s"""WITH exact AS (SELECT * FROM ($dedupExactOracleSql) _e),
+       |clus AS (SELECT * FROM (${dupClustersOracleSql()}) _c),
+       |cont AS (SELECT * FROM (${decontaminateOracleSql()}) _x),
+       |qual AS (SELECT * FROM ($qualityScoreOracleSql) _q),
+       |rep AS (SELECT * FROM ($repetitionOracleSql) _r)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  CASE WHEN d.doc_id % $BenchmarkIdStride = 0 THEN 'benchmark'
+       |       WHEN e.canonical_id <> d.doc_id THEN 'exact_dup'
+       |       WHEN c.cluster_id <> d.doc_id THEN 'near_dup'
+       |       WHEN coalesce(ct.bench_hits, 0) >= 1 THEN 'contaminated'
+       |       WHEN q.quality < $CleanQualityFloor THEN 'low_quality'
+       |       WHEN r.dup_2gram_frac > $CleanRepetitionCap THEN 'repetitive'
+       |       ELSE 'kept' END AS verdict
+       |FROM documents d
+       |JOIN exact e USING (doc_id)
+       |JOIN clus c USING (doc_id)
+       |LEFT JOIN cont ct USING (doc_id)
+       |JOIN qual q USING (doc_id)
+       |JOIN rep r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

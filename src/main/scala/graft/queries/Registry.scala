@@ -114,7 +114,10 @@ object Registry {
     "q63_pii_scrub" -> ((s, dir) => graft.operators.WebOps.piiScrub(s, dir)),
     // line-frequency boilerplate removal (CCNet-style): lines in
     // >= BoilerplateDf distinct docs cut everywhere, docs rebuilt
-    "q64_line_dedup" -> ((s, dir) => graft.operators.TextOps.lineDedup(s, dir))
+    "q64_line_dedup" -> ((s, dir) => graft.operators.TextOps.lineDedup(s, dir)),
+    // end-to-end corpus-cleaning verdict: the oracled stages composed
+    // in pipeline order, first failing stage = drop reason
+    "q65_clean_pipeline" -> ((s, dir) => graft.operators.TextOps.cleanPipeline(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -217,6 +220,7 @@ object Registry {
     "q61_url_dedup" -> graft.operators.WebOps.urlDedupOracleSql,
     "q62_capture_diff" -> graft.operators.WebOps.captureDiffOracleSql,
     "q63_pii_scrub" -> graft.operators.WebOps.piiScrubOracleSql,
-    "q64_line_dedup" -> graft.operators.TextOps.lineDedupOracleSql
+    "q64_line_dedup" -> graft.operators.TextOps.lineDedupOracleSql,
+    "q65_clean_pipeline" -> graft.operators.TextOps.cleanPipelineOracleSql
   )
 }

@@ -454,4 +454,37 @@ class TextOpsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), "line dedup plan is pair-free")
     assert(!plan.contains("Window"), "no window node")
   }
+
+  test("clean pipeline: verdicts consistent with member stages, first-fail order") {
+    val spark = TestSpark.spark
+    val verdicts = TextOps.cleanPipeline(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // member stages, from their own (separately golden-tested) outputs
+    val canon = TextOps.dedupExact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clus = TextOps.dupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cont = TextOps.decontaminate(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val qual = TextOps.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val rep = TextOps.repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(verdicts.size == canon.size, "one verdict per doc")
+    verdicts.foreach { case (id, v) =>
+      val expected =
+        if (id % TextOps.BenchmarkIdStride == 0) "benchmark"
+        else if (canon(id) != id) "exact_dup"
+        else if (clus(id) != id) "near_dup"
+        else if (cont(id)) "contaminated"
+        else if (qual(id) < TextOps.CleanQualityFloor) "low_quality"
+        else if (rep(id) > TextOps.CleanRepetitionCap) "repetitive"
+        else "kept"
+      assert(v == expected, s"doc $id: $v vs first-fail $expected")
+    }
+    // the composition is only meaningful if multiple stages fire
+    val hist = verdicts.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(hist.contains("kept") && hist.contains("benchmark") &&
+      hist.contains("low_quality"), s"stage mix too thin: $hist")
+  }
 }
