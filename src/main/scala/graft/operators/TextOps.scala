@@ -201,16 +201,26 @@ object TextOps {
     * high tau the output coincides with [[jaccardPairs]] (the DuckDB
     * oracle) with failure probability ≪ 1e-8 on this corpus.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame =
+    // one materialization feeds both the signature pass and verification
+    // (repartition: a single-file corpus is one split — see jaccardPairs)
+    minhashLshFrom(spark,
+      docShingles(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(),
+      tau)
+
+  /** Injectable-shingle form, for callers that already hold a
+    * materialized (doc_id, shingles) frame — [[cleanPipeline]] shares
+    * ONE checkpointed frame between this and [[decontaminateFrom]]
+    * rather than tokenizing + shingling the corpus twice.
+    */
+  private[graft] def minhashLshFrom(spark: SparkSession, shDf: DataFrame,
+      tau: Double): DataFrame = {
     import spark.implicits._
     val nh = MinhashHashes
     val bands = MinhashBands
     val rowsPerBand = nh / bands
-    // one materialization feeds both the signature pass and verification
-    // (repartition: a single-file corpus is one split — see jaccardPairs)
-    val shDf = docShingles(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint()
     val sh = shDf.as[(Long, Seq[String])]
     val buckets = sh.flatMap { case (id, shingles) =>
       if (shingles.isEmpty) Iterator.empty
@@ -643,8 +653,12 @@ object TextOps {
     * same shape holds when the benchmark side is an external table.
     */
   def decontaminate(spark: SparkSession, sfDir: String,
+      minHits: Int = 1, stride: Int = BenchmarkIdStride): DataFrame =
+    decontaminateFrom(docShingles(spark, sfDir), minHits, stride)
+
+  /** Injectable-shingle form (see [[minhashLshFrom]]). */
+  private[graft] def decontaminateFrom(sh: DataFrame,
       minHits: Int = 1, stride: Int = BenchmarkIdStride): DataFrame = {
-    val sh = docShingles(spark, sfDir)
     val bench = sh.filter(col("doc_id") % stride === 0)
       .select(explode(col("shingles")).as("shingle")).distinct()
     val corpus = sh.filter(col("doc_id") % stride =!= 0)
@@ -1269,9 +1283,17 @@ object TextOps {
     */
   def cleanPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir).select(col("doc_id").cast("long"))
+    // ONE checkpointed shingle frame feeds both shingle consumers —
+    // fuzzy dedup (LSH + verify) and decontamination; composing the
+    // public entry points instead would tokenize + shingle the corpus
+    // twice (the cost docShingles' own comment quantifies)
+    val sh = docShingles(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val exact = dedupExact(spark, sfDir)
-    val clus = dupClusters(spark, sfDir)
-    val cont = decontaminate(spark, sfDir)
+    val clus = dupClustersFrom(d,
+      minhashLshFrom(spark, sh, tau = 0.5).select(col("a"), col("b")))
+    val cont = decontaminateFrom(sh)
     val qual = qualityScore(spark, sfDir).select(col("doc_id"), col("quality"))
     val rep = repetition(spark, sfDir)
       .select(col("doc_id"), col("dup_2gram_frac"))

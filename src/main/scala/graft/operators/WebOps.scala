@@ -81,11 +81,16 @@ object WebOps {
   /** URL canonicalization, the industry-standard normalizations that
     * never change what a well-behaved server serves:
     * scheme+authority lowercased (path/query case is preserved — it is
-    * significant), default port stripped (:443 on https, :80 on http),
-    * fragment stripped, tracking parameters removed (utm_*, ref) with
-    * separator cleanup, trailing path slashes dropped. Pure per-row
+    * significant), default port stripped (:443 on https, :80 on http —
+    * and ONLY on those schemes; other schemes keep their port),
+    * fragment stripped, tracking parameters removed (utm_*, ref —
+    * anchored to a [?&] parameter boundary so `href=`/`xref=` and
+    * path segments never match) with separator cleanup, trailing PATH
+    * slashes dropped (the rest is split at the first '?' so query
+    * values containing '/' or '?' are never rewritten). Pure per-row
     * built-ins (regexp is RE2-compatible: no lookarounds, no backrefs,
-    * so the DuckDB twin is the same pattern text).
+    * so the DuckDB twin is the same pattern text; only the group
+    * backreference syntax differs — `$1` vs `\1`).
     */
   def canonicalizeUrl(u: Column): Column = {
     val pre0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
@@ -93,19 +98,24 @@ object WebOps {
     val preLo = lower(pre0)
     val pre = when(preLo.startsWith("https://"),
         regexp_replace(preLo, ":443$", ""))
-      .otherwise(regexp_replace(preLo, ":80$", ""))
+      .when(preLo.startsWith("http://"),
+        regexp_replace(preLo, ":80$", ""))
+      .otherwise(preLo)
     val noFrag = regexp_replace(rest0, "#.*$", "")
-    val noTrack = regexp_replace(noFrag, "(utm_[a-z]+|ref)=[^&#]*", "")
+    val noTrack =
+      regexp_replace(noFrag, "([?&])(utm_[a-z]+|ref)=[^&#]*", "$1")
     val tidy = regexp_replace(
       regexp_replace(regexp_replace(noTrack, "&&+", "&"), "\\?&+", "?"),
       "[?&]+$", "")
-    val noSlash = regexp_replace(regexp_replace(tidy, "/+\\?", "?"), "/+$", "")
-    concat(pre, noSlash)
+    // trailing-slash strip on the PATH only: split at the first '?'
+    val path0 = regexp_extract(tidy, "^[^?]*", 0)
+    val qs = tidy.substr(length(path0) + lit(1), length(tidy))
+    concat(pre, regexp_replace(path0, "/+$", ""), qs)
   }
 
   /** The identical chain as DuckDB SQL over a column named `url`
     * (DuckDB regexp_replace is first-match unless flagged 'g'; Spark's
-    * is always global — flags added where a pattern can hit twice).
+    * is always global — every multi-hit-capable pattern carries 'g').
     */
   private val canonicalizeSqlSteps: String =
     """c1 AS (SELECT *, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS pre,
@@ -114,17 +124,20 @@ object WebOps {
       |c2 AS (SELECT * EXCLUDE (pre, rest),
       |              CASE WHEN lower(pre) LIKE 'https://%'
       |                   THEN regexp_replace(lower(pre), ':443$', '')
-      |                   ELSE regexp_replace(lower(pre), ':80$', '') END AS pre,
+      |                   WHEN lower(pre) LIKE 'http://%'
+      |                   THEN regexp_replace(lower(pre), ':80$', '')
+      |                   ELSE lower(pre) END AS pre,
       |              regexp_replace(rest, '#.*$', '') AS rest
       |       FROM c1),
       |c3 AS (SELECT * EXCLUDE (rest),
-      |              regexp_replace(rest, '(utm_[a-z]+|ref)=[^&#]*', '', 'g') AS rest
+      |              regexp_replace(rest, '([?&])(utm_[a-z]+|ref)=[^&#]*', '\1', 'g') AS rest
       |       FROM c2),
       |c4 AS (SELECT * EXCLUDE (rest),
-      |              regexp_replace(regexp_replace(regexp_replace(rest, '&&+', '&', 'g'), '\?&+', '?'), '[?&]+$', '') AS rest
+      |              regexp_replace(regexp_replace(regexp_replace(rest, '&&+', '&', 'g'), '\?&+', '?', 'g'), '[?&]+$', '') AS rest
       |       FROM c3),
       |canon AS (SELECT * EXCLUDE (url, pre, rest),
-      |                 pre || regexp_replace(regexp_replace(rest, '/+\?', '?'), '/+$', '') AS url
+      |                 pre || regexp_replace(regexp_extract(rest, '^[^?]*'), '/+$', '') ||
+      |                 substr(rest, length(regexp_extract(rest, '^[^?]*')) + 1) AS url
       |          FROM c4)""".stripMargin
 
   /** q61: URL-canonicalization dedup — one surviving capture per

@@ -30,7 +30,17 @@ class WebOpsSpec extends AnyFunSuite {
       "https://a.example/x?id=7&utm_campaign=z" -> "https://a.example/x?id=7",
       "https://a.example/x?utm_campaign=z&id=7" -> "https://a.example/x?id=7",
       // untouched urls stay untouched
-      "https://a.example/x?id=7" -> "https://a.example/x?id=7")
+      "https://a.example/x?id=7" -> "https://a.example/x?id=7",
+      // tracking match is anchored to a param boundary: href/xref and
+      // path segments that merely CONTAIN "ref=" survive
+      "https://a.example/x?href=7" -> "https://a.example/x?href=7",
+      "https://a.example/x?xref=1&id=2" -> "https://a.example/x?xref=1&id=2",
+      "https://a.example/ref=abc/page" -> "https://a.example/ref=abc/page",
+      // :80 is default ONLY for http — other schemes keep their port
+      "ftp://h.example:80/x" -> "ftp://h.example:80/x",
+      // trailing-slash strip is path-only: query values keep '/' and '?'
+      "https://a.example/x/?next=/a/" -> "https://a.example/x?next=/a/",
+      "https://a.example/x?next=/a/?z=1" -> "https://a.example/x?next=/a/?z=1")
     val got = cases.map(_._1).toDF("url")
       .select(WebOps.canonicalizeUrl(col("url"))).as[String].collect().toSeq
     assert(got == cases.map(_._2), s"canonicalization mismatch: $got")
@@ -67,6 +77,19 @@ class WebOpsSpec extends AnyFunSuite {
       assert(first == E + id, s"doc $id first_ts is the base capture")
       assert(last >= first && caps >= vers)
     }
+  }
+
+  test("captures' base capture is exactly the north-rule page table row") {
+    val spark = TestSpark.spark
+    // the clean base capture must stay tied to Corpus.pages (url + ts):
+    // captures/capturesSql synthesize the same shape independently, so
+    // this anti-join is the tripwire against silent drift — every
+    // north-rule page row must appear verbatim among the captures
+    val caps = WebOps.captures(spark, dir).select(col("url"), col("ts"))
+    val pages = graft.corpus.Corpus.pages(spark, dir)
+      .select(col("url"), unix_timestamp(col("warc_ts")).as("ts"))
+    assert(pages.join(caps, Seq("url", "ts"), "left_anti").count() == 0,
+      "a Corpus.pages row has no matching base capture — shapes drifted")
   }
 
   test("pii scrub: counts by residue, placeholders substituted, nothing leaks") {
