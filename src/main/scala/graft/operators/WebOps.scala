@@ -279,6 +279,73 @@ object WebOps {
           PhoneRe, "<PHONE>").as("clean_text"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- per-domain stats
+
+  /** q66: per-domain crawl rollup — the blocklist/allowlist decision
+    * table every crawl-curation pipeline maintains: for each host
+    * (authority of the canonical URL, port and scheme stripped) the
+    * capture count, distinct documents, distinct content versions,
+    * and the mean quality of its docs ([[TextOps.qualityScore]]'s
+    * composite). A domain whose docs are low-quality or whose
+    * captures are all one boilerplate version is cut wholesale — at
+    * the domain level, not per doc.
+    *
+    * Scale shape: host extraction is per-row regexp; the rollup is
+    * ONE hash aggregate keyed by host (map-side combinable — count,
+    * count distinct over md5, sum/count for the mean); the quality
+    * join is doc_id-keyed, bounded by captures. Hosts are the classic
+    * skew key (one mega-domain), but the skewed operation here is a
+    * partial-aggregated count — no per-host row explosion anywhere.
+    */
+  def domainStats(spark: SparkSession, sfDir: String): DataFrame = {
+    // quality re-scaled to an exact integer (it is round(·,4) per doc,
+    // so ×10000 is integral up to float ulp): the per-host mean is then
+    // an INTEGER sum ÷ count — bit-stable under any partitioning, where
+    // avg(double) would depend on partial-aggregation order
+    val q = graft.operators.TextOps.qualityScore(spark, sfDir)
+      .select(col("doc_id"),
+        round(col("quality") * 10000, 0).cast("long").as("q4"))
+    captures(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        regexp_extract(lower(canonicalizeUrl(col("url"))),
+          "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1).as("host"))
+      .join(q, "doc_id")
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_captures"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_versions"),
+        sum(col("q4")).as("sq4"))
+      .select(col("host"), col("n_captures").cast("long"),
+        col("n_docs").cast("long"), col("n_versions").cast("long"),
+        round(col("sq4") / (col("n_captures") * 10000.0), 4)
+          .cast("double").as("mean_quality"))
+      .orderBy("host")
+  }
+
+  def domainStatsOracleSql: String =
+    s"""WITH cap AS ($capturesSql),
+       |$canonicalizeSqlSteps,
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(round(round(0.4 * (len(list_distinct(t)) / CAST(len(t) AS DOUBLE))
+       |      + 0.3 * (1.0 - len(list_filter(t, x -> x = 'the' OR x = 'a')) / CAST(len(t) AS DOUBLE))
+       |      + 0.3 * least(1.0, len(t) / 100.0), 4) * 10000, 0) AS BIGINT) AS q4
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+       |        FROM documents)
+       |),
+       |h AS (
+       |  SELECT c.doc_id, c.text,
+       |         regexp_extract(lower(c.url), '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1) AS host
+       |  FROM canon c
+       |)
+       |SELECT h.host, CAST(count(*) AS BIGINT) AS n_captures,
+       |       CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT md5(h.text)) AS BIGINT) AS n_versions,
+       |       CAST(round(sum(q.q4) / (count(*) * 10000.0), 4) AS DOUBLE) AS mean_quality
+       |FROM h JOIN q USING (doc_id)
+       |GROUP BY h.host ORDER BY host""".stripMargin
+
   /** DuckDB twin (regexp_replace needs the 'g' flag — DuckDB is
     * first-match by default where Spark is always global).
     */

@@ -117,7 +117,10 @@ object Registry {
     "q64_line_dedup" -> ((s, dir) => graft.operators.TextOps.lineDedup(s, dir)),
     // end-to-end corpus-cleaning verdict: the oracled stages composed
     // in pipeline order, first failing stage = drop reason
-    "q65_clean_pipeline" -> ((s, dir) => graft.operators.TextOps.cleanPipeline(s, dir))
+    "q65_clean_pipeline" -> ((s, dir) => graft.operators.TextOps.cleanPipeline(s, dir)),
+    // per-domain crawl rollup: captures / docs / content versions /
+    // mean quality per canonical host — the blocklist decision table
+    "q66_domain_stats" -> ((s, dir) => graft.operators.WebOps.domainStats(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -221,6 +224,7 @@ object Registry {
     "q62_capture_diff" -> graft.operators.WebOps.captureDiffOracleSql,
     "q63_pii_scrub" -> graft.operators.WebOps.piiScrubOracleSql,
     "q64_line_dedup" -> graft.operators.TextOps.lineDedupOracleSql,
-    "q65_clean_pipeline" -> graft.operators.TextOps.cleanPipelineOracleSql
+    "q65_clean_pipeline" -> graft.operators.TextOps.cleanPipelineOracleSql,
+    "q66_domain_stats" -> graft.operators.WebOps.domainStatsOracleSql
   )
 }

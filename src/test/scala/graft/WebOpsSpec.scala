@@ -92,6 +92,36 @@ class WebOpsSpec extends AnyFunSuite {
       "a Corpus.pages row has no matching base capture — shapes drifted")
   }
 
+  test("domain stats: per-host rollup matches the capture synthesis residues") {
+    val spark = TestSpark.spark
+    val docs = graft.corpus.Corpus.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rows = WebOps.domainStats(spark, dir).collect()
+    assert(rows.length == 10, "ten synthesized hosts")
+    val byHost = docs.groupBy(_._1 % 10)
+    val capsByHost = byHost.view.mapValues(_.map { case (id, _) =>
+      1 + (if (id % 3 == 0) 1 else 0) + (if (id % 5 == 0) 1 else 0) }.sum).toMap
+    // versions = DISTINCT texts over the host's captures (exact-dup
+    // docs share text, so per-doc summing would overcount)
+    val versByHost = byHost.view.mapValues(ds =>
+      (ds.map(_._2) ++ ds.collect { case (id, t) if id % 3 == 0 => t + " updated" })
+        .distinct.size).toMap
+    rows.foreach { r =>
+      val h = r.getString(0)
+      assert(h.matches("host\\d\\.example"), s"host shape: $h")
+      val residue = h.drop(4).takeWhile(_.isDigit).toLong
+      assert(r.getLong(1) == capsByHost(residue), s"$h capture count")
+      assert(r.getLong(2) == byHost(residue).length, s"$h doc count")
+      assert(r.getLong(3) == versByHost(residue), s"$h version count")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0, s"$h mean quality")
+    }
+    // one aggregation, doc-keyed quality join, no pair space
+    val plan = WebOps.domainStats(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "domain stats plan is pair-free")
+  }
+
   test("pii scrub: counts by residue, placeholders substituted, nothing leaks") {
     val spark = TestSpark.spark
     val rows = WebOps.piiScrub(spark, dir).collect()
