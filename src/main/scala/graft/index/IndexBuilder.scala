@@ -592,14 +592,45 @@ object IndexBuilder {
     * (2) per (snapshot, shard) the highest commit_seq wins (a resume
     * re-seal of one shard supersedes only that shard's row).
     */
-  def readManifest(spark: SparkSession, indexDir: String): Seq[ManifestRow] = {
-    val raw = rawManifest(spark, IndexPaths(indexDir))
+  def readManifest(spark: SparkSession, indexDir: String): Seq[ManifestRow] =
+    currentView(rawManifest(spark, IndexPaths(indexDir)))
+
+  /** The supersede rules over a row set (see [[readManifest]]). Shared
+    * by the current view and the time-travel view — the as-of view is
+    * by definition these same rules applied to the as-of PREFIX of the
+    * append-only log.
+    */
+  private def currentView(raw: Seq[ManifestRow]): Seq[ManifestRow] =
     raw.groupBy(_.snapshot_id).values.flatMap { rows =>
       val fullSeq = rows.filter(_.full_commit).map(_.commit_seq).foldLeft(0L)(math.max)
       rows.filter(_.commit_seq >= fullSeq)
         .groupBy(_.shard).values.map(_.maxBy(_.commit_seq))
     }.toSeq.sortBy(r => (r.snapshot_id, r.shard))
-  }
+
+  /** Iceberg-style time travel over the lineage: the manifest view AS
+    * OF `commitSeq` — the supersede rules applied to the prefix of the
+    * append-only log with commit_seq ≤ `commitSeq`. Because commits
+    * only APPEND rows, this is exactly what [[readManifest]] returned
+    * the moment commit `commitSeq` landed. Valid for time-travel
+    * QUERIES whenever later commits only added snapshots (the ingest
+    * pattern): the earlier snapshots' sealed segments are immutable on
+    * disk. A later in-place rebuild of the SAME (snapshot, shard)
+    * overwrites the data files (the manifest is lineage, not an
+    * Iceberg data-file catalog), so the lineage view stays correct but
+    * the as-of DATA is gone — same contract as an expired Iceberg
+    * snapshot.
+    */
+  def manifestAsOf(spark: SparkSession, indexDir: String,
+      commitSeq: Long): Seq[ManifestRow] =
+    currentView(rawManifest(spark, IndexPaths(indexDir))
+      .filter(_.commit_seq <= commitSeq))
+
+  /** The snapshot ids live in the as-of view — the set to hand
+    * [[Wand.topK]] for a time-travel query.
+    */
+  def snapshotsAsOf(spark: SparkSession, indexDir: String,
+      commitSeq: Long): Seq[Long] =
+    manifestAsOf(spark, indexDir, commitSeq).map(_.snapshot_id).distinct.sorted
 
   /** Resume an interrupted build: diff the manifest against the shard
     * set the corpus implies, re-seal only the missing shards (the

@@ -592,6 +592,33 @@ object Wand {
     * leaves live must answer exactly like one full build — the same
     * exhaustive-BM25 oracle as q03/q37.
     */
+  /** Registry entry for manifest time travel
+    * ([[IndexBuilder.snapshotsAsOf]] — the north rule's Iceberg-style
+    * snapshot lineage made queryable): ingest two half-corpus
+    * snapshots (commits 1 and 2 of the append-only manifest), then
+    * answer the query batch AS OF commit 1 — the snapshot set is
+    * resolved from the lineage, not hard-coded, and the result must
+    * equal BM25 over exactly the first half of the corpus (the oracle
+    * filters `documents` with the same midpoint split). The
+    * stats/idf/avgdl side is per queried-snapshot-set, so the as-of
+    * query scores under the as-of corpus statistics, not today's.
+    */
+  def topKAsOfCommit(spark: SparkSession, sfDir: String,
+      numShards: Int = 4): DataFrame =
+    withTempIndex("graft-index-asof-") { idx =>
+      import org.apache.spark.sql.functions.max
+      val maxDoc = graft.corpus.Corpus.documents(spark, sfDir)
+        .agg(max("doc_id")).head().getLong(0)
+      val mid = (maxDoc + 1) / 2
+      IndexBuilder.build(spark, sfDir, idx, numShards, snapshotId = 1L,
+        docIdRange = Some((0L, mid)))
+      IndexBuilder.build(spark, sfDir, idx, numShards, snapshotId = 2L,
+        parentSnapshot = 1L, docIdRange = Some((mid, maxDoc + 1)))
+      val snaps = IndexBuilder.snapshotsAsOf(spark, idx, commitSeq = 1L)
+      require(snaps == Seq(1L), s"as-of commit 1 must see snapshot 1 only: $snaps")
+      localizedResult(topK(spark, idx, snaps), idx)
+    }
+
   def topKOnScheduledIngest(spark: SparkSession, sfDir: String,
       numShards: Int = 4): DataFrame =
     withTempIndex("graft-index-sched-") { idx =>

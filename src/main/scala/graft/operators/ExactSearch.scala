@@ -99,11 +99,12 @@ object ExactSearch {
     * parquet `documents` table (validated locally in round 1 before
     * shipping — see scripts/check_oracle.py).
     */
-  def oracleSql(k: Int = QuerySet.K): String = {
+  def oracleSql(k: Int = QuerySet.K, docWhere: String = "TRUE"): String = {
     val contribution = BM25.duckdbContributionSql(
       tf = "tf.tf", dl = "dl.dl", avgdl = "stats.avgdl", n = "stats.n_docs", df = "df.df")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+       |  WHERE $docWhere
        |), tok2 AS (
        |  SELECT doc_id, term FROM tok WHERE term <> ''
        |), tf AS (

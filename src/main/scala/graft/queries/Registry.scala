@@ -120,7 +120,11 @@ object Registry {
     "q65_clean_pipeline" -> ((s, dir) => graft.operators.TextOps.cleanPipeline(s, dir)),
     // per-domain crawl rollup: captures / docs / content versions /
     // mean quality per canonical host — the blocklist decision table
-    "q66_domain_stats" -> ((s, dir) => graft.operators.WebOps.domainStats(s, dir))
+    "q66_domain_stats" -> ((s, dir) => graft.operators.WebOps.domainStats(s, dir)),
+    // manifest time travel: two-snapshot ingest, query AS OF commit 1
+    // (snapshot set resolved from the lineage) ≡ BM25 over the first
+    // half of the corpus under that half's own statistics
+    "q67_wand_asof" -> ((s, dir) => graft.index.Wand.topKAsOfCommit(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -225,6 +229,10 @@ object Registry {
     "q63_pii_scrub" -> graft.operators.WebOps.piiScrubOracleSql,
     "q64_line_dedup" -> graft.operators.TextOps.lineDedupOracleSql,
     "q65_clean_pipeline" -> graft.operators.TextOps.cleanPipelineOracleSql,
-    "q66_domain_stats" -> graft.operators.WebOps.domainStatsOracleSql
+    "q66_domain_stats" -> graft.operators.WebOps.domainStatsOracleSql,
+    // the unchanged exhaustive BM25 oracle restricted to the as-of
+    // corpus: the same midpoint split the two-snapshot ingest uses
+    "q67_wand_asof" -> graft.operators.ExactSearch.oracleSql(
+      docWhere = "doc_id < (SELECT (max(doc_id) + 1) // 2 FROM documents)")
   )
 }

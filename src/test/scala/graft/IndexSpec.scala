@@ -165,6 +165,41 @@ class IndexSpec extends AnyFunSuite {
     assert(IndexBuilder.resume(spark, TestSpark.Sf0001, dir, 2, 1L).isEmpty)
   }
 
+  test("manifest time travel: as-of views replay the append-only log exactly") {
+    val spark = TestSpark.spark
+    val dir = tmp()
+    // ingest pattern: snapshot 1 (commit 1), snapshot 2 (commit 2),
+    // then a compaction into snapshot 3 (commit 3)
+    IndexBuilder.build(spark, TestSpark.Sf0001, dir, numShards = 2,
+      snapshotId = 1L, docIdRange = Some((0L, 250L)))
+    IndexBuilder.build(spark, TestSpark.Sf0001, dir, numShards = 2,
+      snapshotId = 2L, parentSnapshot = 1L, docIdRange = Some((250L, 500L)))
+    IndexBuilder.mergeSnapshots(spark, dir, Seq(1L, 2L), outSnap = 3L, 2)
+    assert(IndexBuilder.snapshotsAsOf(spark, dir, 1L) == Seq(1L))
+    assert(IndexBuilder.snapshotsAsOf(spark, dir, 2L) == Seq(1L, 2L))
+    assert(IndexBuilder.snapshotsAsOf(spark, dir, 3L) == Seq(1L, 2L, 3L),
+      "lineage keeps the merged inputs; which snapshots to QUERY is the caller's cut")
+    assert(IndexBuilder.snapshotsAsOf(spark, dir, 0L).isEmpty,
+      "before the first commit the view is empty")
+    // the as-of-2 view is row-identical to what readManifest said then:
+    // doc counts cover exactly the two halves
+    val asOf2 = IndexBuilder.manifestAsOf(spark, dir, 2L)
+    assert(asOf2.map(_.doc_count).sum == 500L)
+    assert(asOf2.map(_.snapshot_id).distinct.sorted == Seq(1L, 2L))
+    // time-travel QUERY: as-of commit 1 ≡ a fresh index over the first
+    // half alone — same rows, same scores (stats resolved per queried
+    // snapshot set, so the as-of query scores under as-of statistics)
+    val asOfRows = graft.index.Wand.topK(spark, dir, Seq(1L)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val freshDir = tmp()
+    IndexBuilder.build(spark, TestSpark.Sf0001, freshDir, numShards = 2,
+      snapshotId = 1L, docIdRange = Some((0L, 250L)))
+    val freshRows = graft.index.Wand.topK(spark, freshDir, Seq(1L)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(asOfRows.sorted.toSeq == freshRows.sorted.toSeq,
+      "as-of query must be bit-identical to a fresh half-corpus index")
+  }
+
   test("undecodable manifest PROPAGATES; missing manifest reads empty") {
     val spark = TestSpark.spark
     import spark.implicits._
