@@ -236,7 +236,8 @@ object Bench {
       "q52_stream_dedup", "q53_dup_clusters", "q56_substring_dup",
       "q58_shingle_novelty", "q59_substring_dedup", "q60_source_overlap",
       "q61_url_dedup", "q62_capture_diff", "q63_pii_scrub", "q64_line_dedup",
-      "q65_clean_pipeline", "q66_domain_stats", "q67_wand_asof")
+      "q65_clean_pipeline", "q66_domain_stats", "q67_wand_asof",
+      "q68_linkgraph", "q69_pagerank")
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     def opOnce(name: String): Unit =
       SparkEntry.queries.get(name).foreach { fn =>

@@ -28,9 +28,14 @@ object Corpus {
 
   /** Derive the north-rule page table from `documents`. html is real
     * UTF-8 markup (title, entity-escaped body) so the extractor has
-    * something genuine to strip.
+    * something genuine to strip. `extraBody` (default empty) is spliced
+    * in AFTER the closing `</p>` — [[Extractor.extractText]] reads up
+    * to the LAST `</p>`, so callers adding nav/footer markup there
+    * ([[graft.operators.LinkOps.pagesLinked]]) must not include a
+    * literal `</p>` in it (the link nav doesn't).
     */
-  def pages(spark: SparkSession, sfDir: String): DataFrame = {
+  def pages(spark: SparkSession, sfDir: String,
+            extraBody: org.apache.spark.sql.Column = lit("")): DataFrame = {
     val docs = documents(spark, sfDir)
     val escaped = Extractor.escapeCol(col("text"))
     docs.select(
@@ -41,7 +46,7 @@ object Corpus {
         concat(
           lit("<html><head><title>doc "), col("doc_id"),
           lit("</title></head><body><p>"), escaped,
-          lit("</p></body></html>")),
+          lit("</p>"), extraBody, lit("</body></html>")),
         "UTF-8").as("html"),
       col("text"),
       col("lang"))

@@ -124,7 +124,18 @@ object Registry {
     // manifest time travel: two-snapshot ingest, query AS OF commit 1
     // (snapshot set resolved from the lineage) ≡ BM25 over the first
     // half of the corpus under that half's own statistics
-    "q67_wand_asof" -> ((s, dir) => graft.index.Wand.topKAsOfCommit(s, dir))
+    "q67_wand_asof" -> ((s, dir) => graft.index.Wand.topKAsOfCommit(s, dir)),
+    // link extraction: every <a href rel> anchor parsed from the page
+    // html bytes; the oracle re-derives the edge set from doc_id
+    // arithmetic without ever seeing the markup
+    "q68_linkgraph" -> ((s, dir) => graft.operators.LinkOps.linkGraph(s, dir)),
+    // fixed-point integer PageRank (damping .85, 10 iterations,
+    // dangling mass redistributed) over the extracted graph — exact
+    // long arithmetic so no partial-aggregation order can move a bit
+    "q69_pagerank" -> ((s, dir) => graft.operators.LinkOps.pageRank(s, dir)),
+    // anchor-text aggregation per link target: in-link counts +
+    // sorted distinct anchor vocabulary (the index-enrichment field)
+    "q70_anchor_text" -> ((s, dir) => graft.operators.LinkOps.anchorText(s, dir))
   )
 
   /** name → DuckDB SQL over the same sfDir parquet tables. */
@@ -233,6 +244,9 @@ object Registry {
     // the unchanged exhaustive BM25 oracle restricted to the as-of
     // corpus: the same midpoint split the two-snapshot ingest uses
     "q67_wand_asof" -> graft.operators.ExactSearch.oracleSql(
-      docWhere = "doc_id < (SELECT (max(doc_id) + 1) // 2 FROM documents)")
+      docWhere = "doc_id < (SELECT (max(doc_id) + 1) // 2 FROM documents)"),
+    "q68_linkgraph" -> graft.operators.LinkOps.linkGraphOracleSql,
+    "q69_pagerank" -> graft.operators.LinkOps.pageRankOracleSql(),
+    "q70_anchor_text" -> graft.operators.LinkOps.anchorTextOracleSql
   )
 }

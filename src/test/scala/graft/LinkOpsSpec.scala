@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.LinkOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Link graph family: html-parse ≡ arithmetic edge derivation, the
+  * fixed-point PageRank recurrence against a sequential driver-side
+  * golden (exact long equality — the integer discipline means there is
+  * no tolerance anywhere), mass conservation, hub-skew sanity, and the
+  * anchor aggregation against a naive model.
+  */
+class LinkOpsSpec extends AnyFunSuite {
+  private val dir = TestSpark.Sf0001
+
+  /** The arithmetic link model (what the DuckDB oracle computes). */
+  private def modelLinks(ids: Seq[Long]): Seq[(Long, Long, String, String)] =
+    ids.flatMap { d =>
+      val parent =
+        if (d > 0) Seq((d, d / 2, "parent", s"p${d / 2} parent link")) else Nil
+      val hub = Seq((d, d % 10, "hub", s"p${d % 10} hub link"))
+      val prev = if (d > 0) Seq((d, d - 1, "prev", s"p${d - 1} prev link")) else Nil
+      parent ++ hub ++ prev
+    }
+
+  private def docIds: Seq[Long] = {
+    val spark = TestSpark.spark
+    graft.corpus.Corpus.documents(spark, dir)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  test("q68: html-parsed links ≡ the arithmetic model, byte for byte") {
+    val spark = TestSpark.spark
+    val got = LinkOps.linkGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    val want = modelLinks(docIds).toSet
+    assert(got == want)
+    // self-links exist in the markup (hub pages 0–9) and are reported
+    assert(got.exists { case (s, d, _, _) => s == d })
+  }
+
+  test("q68: extraction reads the BYTES — extractor invariant untouched") {
+    val spark = TestSpark.spark
+    // the nav splice must not perturb the north-rule text extraction
+    val pages = LinkOps.pagesLinked(spark, dir).select("html", "text").collect()
+    pages.take(50).foreach { r =>
+      val extracted = graft.corpus.Extractor.extractText(r.getAs[Array[Byte]](0))
+      assert(extracted == r.getString(1))
+    }
+  }
+
+  /** Sequential golden of the identical fixed-point recurrence. */
+  private def goldenPageRank(ids: Seq[Long], iters: Int): Map[Long, Long] = {
+    val edges = modelLinks(ids).map(l => (l._1, l._2)).filter(e => e._1 != e._2).distinct
+    val od = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val inEdges = edges.groupBy(_._2)
+    val n = ids.size.toLong
+    val S = LinkOps.PrScale; val D = LinkOps.PrDampNum; val P = LinkOps.PrDen
+    val tele = (15L * S) / (P * n)
+    var r: Map[Long, Long] = ids.map(_ -> S / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = ids.filterNot(od.contains).map(r).sum
+      val dangShare = (D * dang) / (P * n)
+      r = ids.map { v =>
+        val c = inEdges.getOrElse(v, Nil)
+          .map { case (s, _) => (D * r(s)) / (P * od(s)) }.sum
+        v -> (tele + c + dangShare)
+      }.toMap
+    }
+    r
+  }
+
+  // one distributed run shared by the three q69 tests
+  private lazy val prResult: Map[Long, Long] =
+    LinkOps.pageRank(TestSpark.spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("q69: distributed fixed-point PageRank ≡ the sequential golden, exactly") {
+    val ids = docIds
+    val want = goldenPageRank(ids, LinkOps.PrIters)
+    assert(prResult.size == ids.size)
+    assert(prResult == want) // long equality — zero tolerance by design
+  }
+
+  test("q69: mass conservation within the documented floor-leak bound") {
+    val ids = docIds
+    val n = ids.size.toLong
+    val ranks = prResult.values.sum
+    val e = modelLinks(ids).map(l => (l._1, l._2)).filter(x => x._1 != x._2).distinct.size
+    // each truncating divide loses < 1 unit; per iteration: one tele +
+    // one dangling-share per node, one contribution per edge, plus the
+    // initial S/n floor
+    val maxLeak = n + LinkOps.PrIters.toLong * (2 * n + e)
+    assert(ranks <= LinkOps.PrScale)
+    assert(LinkOps.PrScale - ranks <= maxLeak)
+  }
+
+  test("q69: hub pages dominate — the mod-10 in-degree skew shows up in rank") {
+    val hubs = (0L to 9L).map(prResult)
+    val mean = prResult.values.sum / prResult.size
+    assert(hubs.forall(_ > mean), s"hubs=$hubs mean=$mean")
+    // and the top-10 by rank ARE the hubs
+    val top10 = prResult.toSeq.sortBy { case (id, r) => (-r, id) }.take(10).map(_._1).toSet
+    assert(top10 == (0L to 9L).toSet)
+  }
+
+  test("q70: anchor aggregation ≡ naive model") {
+    val spark = TestSpark.spark
+    val links = modelLinks(docIds).filter(l => l._1 != l._2)
+    val want = links.groupBy(_._2).map { case (dst, ls) =>
+      (dst, ls.size.toLong, ls.map(_._1).distinct.size.toLong,
+        ls.flatMap(_._4.split(" ")).distinct.sorted.mkString(" "))
+    }.toSet
+    val got = LinkOps.anchorText(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == want)
+  }
+}
