@@ -181,16 +181,25 @@ object LinkOps {
     val edges = prEdges(spark, sfDir).repartition(col("src")).persist()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
     val edgesOd = edges.join(outdeg, "src").persist()
-    val nodes = Corpus.documents(spark, sfDir).select(col("doc_id").cast("long").as("doc_id")).persist()
+    // pre-partitioned on the join key: the per-iteration rank update
+    // joins nodes ⋈ contrib on doc_id, and contrib arrives hash-
+    // partitioned by doc_id from its aggregation — caching nodes in
+    // that same partitioning keeps the static side out of the
+    // per-iteration exchange entirely
+    val nodes = Corpus.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .repartition(col("doc_id")).persist()
     try {
       val n = nodes.count()
       require(n > 0, "pageRank: empty corpus")
       val tele = (15L * PrScale) / (PrDen * n)
       val outdegNodes = outdeg.select(col("src").as("doc_id")).persist()
       try {
+        val debug = sys.env.get("SPARK_GRAFT_PR_DEBUG").contains("1")
         var ranks = nodes.select(col("doc_id"), lit(PrScale / n).as("r"))
           .localCheckpoint(true)
-        for (_ <- 1 to iters) {
+        for (it <- 1 to iters) {
+          val t0 = System.nanoTime()
           // the dangling mass rides along as a 1-row frame (broadcast
           // NLJ) instead of a separate driver action: one job per
           // iteration — the eager checkpoint — and because `ranks` is a
@@ -211,6 +220,8 @@ object LinkOps {
               (lit(tele) + coalesce(col("c"), lit(0L)) +
                 expr(s"($PrDampNum * dang) div ($PrDen * ${n}L)")).as("r"))
             .localCheckpoint(true)
+          if (debug) System.err.println(
+            f"[pagerank] iter $it: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
         ranks.select(col("doc_id"), col("r").as("rank_u")).orderBy("doc_id")
       } finally outdegNodes.unpersist(false)

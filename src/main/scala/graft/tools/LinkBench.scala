@@ -16,8 +16,9 @@ object LinkBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cores = args.lift(1).getOrElse("8")
+    val factor = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-linkbench")
@@ -25,6 +26,9 @@ object LinkBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val sfDir =
+      if (factor == 1) baseDir
+      else time(s"inflate x$factor")(graft.Bench.inflate(spark, baseDir, factor)._1)
     time("warmup count")(graft.corpus.Corpus.documents(spark, sfDir).count())
     time("q68 linkGraph")(LinkOps.linkGraph(spark, sfDir).collect().length)
     time("q68 linkGraph rep2")(LinkOps.linkGraph(spark, sfDir).collect().length)
