@@ -163,8 +163,9 @@ object LinkOps {
     * exactly, because a double-summed PageRank over a skew-hub graph
     * would differ between engines in the last ulps and a 1e-8 output
     * grid could still flip at a rounding boundary. The per-floor mass
-    * leak is < 1 unit per term per iteration (≤ (2n+E)·iters units
-    * total ≈ 4e-8 of mass at the fixture — asserted in LinkOpsSpec).
+    * leak is < 1 unit per term: n units at the S/n start, then ≤
+    * (2n+E) units per iteration — ≤ n + iters·(2n+E) total ≈ 4e-8 of
+    * mass at the fixture (asserted in LinkOpsSpec).
     *
     * Scale shape: the edge table is shuffled ONCE (repartition by src,
     * cached — the iterated join reuses the cached partitioning), so
@@ -196,6 +197,17 @@ object LinkOps {
       val outdegNodes = outdeg.select(col("src").as("doc_id")).persist()
       try {
         val debug = sys.env.get("SPARK_GRAFT_PR_DEBUG").contains("1")
+        // localCheckpoint persists its RDD (MEMORY_AND_DISK) and the
+        // ContextCleaner only reclaims it when unreferenced — without
+        // an explicit unpersist every iteration's rank vector stays
+        // resident for the rest of the job (~iters stale copies per
+        // call, multiplied across bench reps). Keep only the latest:
+        // after the new checkpoint materializes, drop the previous
+        // iteration's RDD via its LogicalRDD handle.
+        def checkpointRdd(df: DataFrame) =
+          df.queryExecution.analyzed.collectFirst {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }
         var ranks = nodes.select(col("doc_id"), lit(PrScale / n).as("r"))
           .localCheckpoint(true)
         for (it <- 1 to iters) {
@@ -213,6 +225,7 @@ object LinkOps {
             .select(col("dst").as("doc_id"),
               expr(s"($PrDampNum * r) div ($PrDen * od)").as("c"))
             .groupBy("doc_id").agg(sum("c").as("c"))
+          val prev = ranks
           ranks = nodes
             .join(contrib, Seq("doc_id"), "left")
             .crossJoin(dangling)
@@ -220,6 +233,7 @@ object LinkOps {
               (lit(tele) + coalesce(col("c"), lit(0L)) +
                 expr(s"($PrDampNum * dang) div ($PrDen * ${n}L)")).as("r"))
             .localCheckpoint(true)
+          checkpointRdd(prev).foreach(_.unpersist(false))
           if (debug) System.err.println(
             f"[pagerank] iter $it: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
@@ -279,26 +293,34 @@ object LinkOps {
     * extracted text). Self-links excluded — a page's own anchors are
     * not evidence about it.
     *
-    * Scale: one hash aggregate keyed by dst_doc; the token sets are
-    * collected per target and normalized (distinct → sort → join), so
-    * hub targets cost O(in-degree) list growth at the reducer — on a
-    * real crawl cap the list with the bounded-heap aggregator the
-    * hints sidecar uses ([[graft.index.IndexBuilder]]); the fixture's
-    * vocabulary per target is ≤ 5 tokens so the uncapped form is the
-    * oracle-friendly choice here.
+    * Scale: counts are one map-side-combinable hash aggregate keyed by
+    * dst_doc; the vocabulary is pre-aggregated to DISTINCT (dst_doc,
+    * token) rows BEFORE any list is collected, so the per-target
+    * collect_list is bounded by the target's anchor VOCABULARY, never
+    * by its in-degree — a mega-hub whose 10^9 in-links all say
+    * "click here" contributes two rows, not 10^9 list elements at one
+    * reducer (the r5 verdict's unbounded-hub finding; the uncapped
+    * flatten(collect_list(...)) form collected every in-link's tokens
+    * first and deduplicated after).
     */
-  def anchorText(spark: SparkSession, sfDir: String): DataFrame =
-    links(spark, sfDir)
-      .filter(col("src_doc") =!= col("dst_doc"))
+  def anchorText(spark: SparkSession, sfDir: String): DataFrame = {
+    def inl = links(spark, sfDir).filter(col("src_doc") =!= col("dst_doc"))
+    val agg = inl
       .groupBy(col("dst_doc").as("doc_id"))
       .agg(count(lit(1)).as("n_inlinks"),
-        countDistinct(col("src_doc")).as("n_srcs"),
-        array_join(
-          array_sort(array_distinct(flatten(collect_list(split(col("anchor"), " "))))),
-          " ").as("anchor_terms"))
+        countDistinct(col("src_doc")).as("n_srcs"))
+    val voc = inl
+      .select(col("dst_doc").as("doc_id"),
+        explode(split(col("anchor"), " ")).as("tok"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(array_join(array_sort(collect_list(col("tok"))), " ")
+        .as("anchor_terms"))
+    agg.join(voc, "doc_id")
       .select(col("doc_id").cast("long"), col("n_inlinks").cast("long"),
         col("n_srcs").cast("long"), col("anchor_terms"))
       .orderBy("doc_id")
+  }
 
   def anchorTextOracleSql: String =
     s"""WITH links AS ($linksSql),

@@ -21,6 +21,25 @@ object TextOps {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Corpus.documents(spark, sfDir).select(col("doc_id"), col("text"))
 
+  /** [[docs]] rebalanced to the session's default parallelism BEFORE
+    * any per-row derivation. A single-file corpus is ONE scan split,
+    * and every narrow transform (tokenize, shingle, explode, window)
+    * inherits that partitioning — without this the whole derivation
+    * chain, and every localCheckpoint taken from it, runs on one task
+    * (the serialization jaccardPairs' comment documents; measured up
+    * to ~7× on the substring/shingle family, r6). The repartition is
+    * scale-adaptive (defaultParallelism, never a constant) and moves
+    * only the raw text — at cluster scale a many-split input makes it
+    * a cheap rebalance rather than a bottleneck fix.
+    *
+    * Integer/string-derivation operators only: float-sum operators
+    * (langId's log-likelihood sums) deliberately keep the scan
+    * partitioning so partial-aggregation order — and with it last-ulp
+    * rounding — stays exactly as oracled.
+    */
+  private def docsPar(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).repartition(spark.sparkContext.defaultParallelism)
+
   private val toks: Column = Tokenizer.tokensCol(col("text"))
 
   // ---------------------------------------------------------------- exact dedup
@@ -52,7 +71,13 @@ object TextOps {
     * the whole operator at sf0.1).
     */
   def docShingles(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+    docShinglesFrom(docs(spark, sfDir))
+
+  /** Injectable-docs form — callers that need the derivation itself to
+    * run parallel pass a [[docsPar]]-rebalanced frame.
+    */
+  private[graft] def docShinglesFrom(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), array_distinct(
         when(size(col("t")) >= 3,
@@ -98,13 +123,12 @@ object TextOps {
     // both sides of the self-join, both verify joins) and tokenization
     // is the dominant linear cost — without this the plan re-tokenizes
     // the corpus per reference (measured ~5× on the whole operator).
-    // The repartition matters as much as the reuse: a single-file
-    // corpus is ONE scan split, and a checkpoint inherits its
-    // partitioning — everything downstream would run serial.
+    // The rebalance matters as much as the reuse, and it sits BEFORE
+    // the derivation ([[docsPar]]): repartitioning the derived frame
+    // would leave tokenize+shingle itself on the one scan split and
+    // pay a second, wider shuffle of the shingle arrays.
     // At cluster scale the same reuse is a persist(DISK)/table write.
-    val sh = docShingles(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint()
+    val sh = docShinglesFrom(docsPar(spark, sfDir)).localCheckpoint()
     val invAll = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // the HOT side is the small one: shingles with df > cap are by
     // definition few (web boilerplate), so broadcast them and strip
@@ -203,11 +227,9 @@ object TextOps {
     */
   def minhashLsh(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame =
     // one materialization feeds both the signature pass and verification
-    // (repartition: a single-file corpus is one split — see jaccardPairs)
+    // (rebalance BEFORE derivation — see jaccardPairs / [[docsPar]])
     minhashLshFrom(spark,
-      docShingles(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(),
+      docShinglesFrom(docsPar(spark, sfDir)).localCheckpoint(),
       tau)
 
   /** Injectable-shingle form, for callers that already hold a
@@ -256,7 +278,9 @@ object TextOps {
     * shuffle-friendly map cost paid once per corpus.
     */
   def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = docs(spark, sfDir)
+    // rebalance before the explode ([[docsPar]]); all sums here are
+    // integer (tf counts, ±tf votes), so partitioning cannot move a bit
+    val tf = docsPar(spark, sfDir)
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val hashed = tf.select(col("doc_id"), col("tf"),
@@ -444,7 +468,7 @@ object TextOps {
     * length saturation — each a Spark built-in expression.
     */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+    docsPar(spark, sfDir)
       .select(col("doc_id"), toks.as("t"))
       .select(
         col("doc_id").cast("long"),
@@ -654,7 +678,11 @@ object TextOps {
     */
   def decontaminate(spark: SparkSession, sfDir: String,
       minHits: Int = 1, stride: Int = BenchmarkIdStride): DataFrame =
-    decontaminateFrom(docShingles(spark, sfDir), minHits, stride)
+    // checkpointed arrays: decontaminateFrom explodes the frame twice
+    // (benchmark + corpus sides), and an unmaterialized frame would pay
+    // the inferred-generate re-derivation each time (windowFrame doc)
+    decontaminateFrom(docShinglesFrom(docsPar(spark, sfDir)).localCheckpoint(),
+      minHits, stride)
 
   /** Injectable-shingle form (see [[minhashLshFrom]]). */
   private[graft] def decontaminateFrom(sh: DataFrame,
@@ -702,7 +730,7 @@ object TextOps {
     * token of the corpus. O(dl log dl) per doc, embarrassingly parallel.
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
-    repetitionFrom(docs(spark, sfDir))
+    repetitionFrom(docsPar(spark, sfDir))
 
   private[graft] def repetitionFrom(d: DataFrame): DataFrame =
     d.select(col("doc_id"), toks.as("t"))
@@ -798,6 +826,22 @@ object TextOps {
     * corpus token position that can start a window. Shared by the
     * measurement pass ([[substringDup]]) and the removal pass
     * ([[substringDedup]]).
+    *
+    * The window ARRAY column is localCheckpoint'ed BEFORE the explode.
+    * This is load-bearing, not hygiene: `InferFiltersFromGenerate`
+    * synthesizes `size(ws) > 0 AND isnotnull(ws)` from the explode and
+    * pushes it through every intermediate project down to the scan —
+    * where `ws` is no longer a column but the full inlined
+    * tokenize+window expression (each slice(t, …) re-deriving t, i.e.
+    * re-splitting the text per element), evaluated INTERPRETED
+    * (higher-order functions are codegen-fallback) twice per row on
+    * the pre-exchange split. Measured on the shingle twin of this
+    * frame at sf0.1: 10.1 s → 0.19 s once the checkpoint blocks the
+    * pushdown and the filter runs on the materialized array instead
+    * (r6 SliceProbe; the same mechanism cost q56/q58/q59/q60/q64 their
+    * r5 "weak" ratings). Callers get the exploded frame as a cheap
+    * view — re-exploding the checkpointed arrays costs ~0.1 s, so the
+    * exploded frame itself no longer needs its own checkpoint.
     */
   private def windowFrame(docsDf: DataFrame, w: Int): DataFrame =
     docsDf.select(col("doc_id"), toks.as("t"))
@@ -807,14 +851,23 @@ object TextOps {
             s"i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, $w)) AS win))"))
           .otherwise(expr("array()").cast("array<struct<pos:int,win:string>>"))
           .as("ws"))
+      .localCheckpoint()
       .select(col("doc_id"), explode(col("ws")).as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.win").as("win"))
 
-  private[graft] def substringDupFrom(docsDf: DataFrame, w: Int): DataFrame = {
+  private[graft] def substringDupFrom(docsDf0: DataFrame, w: Int): DataFrame = {
+    // rebalance BEFORE the window derivation: a single-split input
+    // serializes windowFrame, the checkpoint it feeds, and (via
+    // checkpoint partitioning) every downstream map side — the r5
+    // plan bug that put this family 5–10× over the q13 cost class
+    val docsDf = docsDf0.repartition(
+      docsDf0.sparkSession.sparkContext.defaultParallelism)
     val d = docsDf.select(col("doc_id"), toks.as("t"))
     val dims = d.select(col("doc_id"), size(col("t")).as("dl"),
       greatest(size(col("t")) - lit(w - 1), lit(0)).as("n_windows"))
-    val pos = windowFrame(docsDf, w).localCheckpoint()
+    // windowFrame checkpoints its ARRAY column (see its scaladoc); the
+    // exploded view is cheap to recompute for both references below
+    val pos = windowFrame(docsDf, w)
     val dup = pos.groupBy("win").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("win")
     val perDoc = pos.join(dup, "win")
@@ -895,8 +948,11 @@ object TextOps {
       w: Int = SubstringWindow): DataFrame =
     substringDedupFrom(docs(spark, sfDir), w)
 
-  private[graft] def substringDedupFrom(docsDf: DataFrame, w: Int): DataFrame = {
-    val pos = windowFrame(docsDf, w).localCheckpoint()
+  private[graft] def substringDedupFrom(docsDf0: DataFrame, w: Int): DataFrame = {
+    // rebalance before derivation — see substringDupFrom
+    val docsDf = docsDf0.repartition(
+      docsDf0.sparkSession.sparkContext.defaultParallelism)
+    val pos = windowFrame(docsDf, w) // array-checkpointed inside
     val canon = pos.groupBy("win")
       .agg(count(lit(1)).as("c"),
         min(struct(col("doc_id"), col("pos"))).as("canon"))
@@ -1045,9 +1101,14 @@ object TextOps {
     * bounded by corpus shingle occurrences) → per-doc integer sums.
     */
   def shingleNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = docShingles(spark, sfDir)
+    // rebalance before derivation ([[docsPar]]), checkpoint the ARRAY
+    // frame — not the exploded one: the explode's inferred not-empty
+    // filter otherwise re-derives the whole shingle expression at the
+    // scan, interpreted, per row (see windowFrame's scaladoc; this was
+    // r5's slowest bench entry at 10–24 s, ~1.3 s after the fix). The
+    // exploded view is recomputed cheaply for its two consumers.
+    val sh = docShinglesFrom(docsPar(spark, sfDir)).localCheckpoint()
     val e = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .localCheckpoint()
     val df = e.groupBy("shingle").agg(count(lit(1)).as("df"))
     val agg = e.join(df, "shingle")
       .groupBy("doc_id")
@@ -1102,7 +1163,13 @@ object TextOps {
     */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val src = Corpus.documents(spark, sfDir).select(col("doc_id"), col("source"))
-    val e = docShingles(spark, sfDir).join(src, "doc_id")
+    // rebalance before derivation ([[docsPar]]) and checkpoint the
+    // shingle ARRAYS before the explode (see windowFrame's scaladoc —
+    // the inferred-generate filter otherwise re-derives the shingle
+    // expression at the scan); the source join stays a broadcast of
+    // the (doc_id, source) side
+    val e = docShinglesFrom(docsPar(spark, sfDir)).localCheckpoint()
+      .join(src, "doc_id")
       .select(col("source"), explode(col("shingles")).as("shingle"))
       .distinct()
       .localCheckpoint() // feeds totals + both join sides; one derivation
@@ -1172,6 +1239,9 @@ object TextOps {
             .otherwise(expr("array()").cast("array<string>")),
           array(concat(lit("copyright "), col("source"), lit(" all rights reserved"))))
           .as("lines"))
+      // checkpoint the line ARRAYS before the explode — same inferred-
+      // generate re-derivation hazard as windowFrame (see its scaladoc)
+      .localCheckpoint()
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
 
   /** q64: line-frequency boilerplate removal — the CCNet/RefinedWeb
@@ -1199,8 +1269,11 @@ object TextOps {
     lineDedupFrom(Corpus.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text")))
 
-  private[graft] def lineDedupFrom(docsDf: DataFrame): DataFrame = {
-    val lf = lineFrame(docsDf).localCheckpoint() // feeds df pass + anti join
+  private[graft] def lineDedupFrom(docsDf0: DataFrame): DataFrame = {
+    // rebalance before derivation — see substringDupFrom
+    val docsDf = docsDf0.repartition(
+      docsDf0.sparkSession.sparkContext.defaultParallelism)
+    val lf = lineFrame(docsDf) // array-checkpointed inside; cheap view
     val boiler = lf.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= BoilerplateDf)
@@ -1287,9 +1360,7 @@ object TextOps {
     // fuzzy dedup (LSH + verify) and decontamination; composing the
     // public entry points instead would tokenize + shingle the corpus
     // twice (the cost docShingles' own comment quantifies)
-    val sh = docShingles(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint()
+    val sh = docShinglesFrom(docsPar(spark, sfDir)).localCheckpoint()
     val exact = dedupExact(spark, sfDir)
     val clus = dupClustersFrom(d,
       minhashLshFrom(spark, sh, tau = 0.5).select(col("a"), col("b")))
