@@ -552,9 +552,17 @@ object AnnIndex {
     val np = if (nprobe > 0) nprobe else m.nprobe0
     val cembs = spark.read.parquet(AnnPaths(indexDir).centers)
     val emb = AnnOps.embDs(spark, sfDir)
-    // cell ranking on the RAW vectors — the space the build assigned in
+    // cell ranking on the RAW vectors — the space the build assigned in.
+    // The probe frame is rebalanced before the candidate joins: the
+    // codes/query sides broadcast, so the per-candidate distance and
+    // the map-side top-k heaps run on the probe's partitioning — a
+    // single-split query scan (or AQE byte-based coalescing of the
+    // skinny probe rows) would otherwise serialize the whole rescore
+    // (q47 profiled as one 3.8 s single-task stage at sf0.1; ~0.2 s
+    // spread over the session's cores)
     val probe = VectorOps.fusedExhaustiveKnn(emb, cembs, np, "vec_id", "cell")
       .select(col("vec_id").as("q_id"), col("cell").as("bucket"))
+      .repartition(spark.sparkContext.defaultParallelism)
     if (m.qlevels > 0) {
       // quantized payload: candidates decode off the index scan, the
       // query side dequantizes through the SAME q39 expressions —

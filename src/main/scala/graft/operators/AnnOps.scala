@@ -364,7 +364,16 @@ object AnnOps {
   private[graft] def rescoreTopK(spark: SparkSession, sfDir: String,
       pairIds: DataFrame, k: Int): DataFrame = {
     val embds = embDs(spark, sfDir)
+    // rebalance the skinny (q_id, nbr_id) pair frame BEFORE the
+    // vector joins: the embedding sides broadcast, so the dist compute
+    // and the map-side top-k heaps inherit the pair frame's
+    // partitioning — which AQE coalesces to ~1 partition at fixture
+    // byte sizes (two longs per row), serializing the whole rescore
+    // (q47's profile: one 3.8 s single-task stage). Two longs per row
+    // make the extra exchange ~free relative to the O(pairs·d) dist
+    // work it parallelizes.
     val cands = pairIds
+      .repartition(spark.sparkContext.defaultParallelism)
       .join(embds.select(col("vec_id").as("q_id"), col("emb").as("q_emb")), "q_id")
       .join(embds.select(col("vec_id").as("nbr_id"), col("emb").as("n_emb")), "nbr_id")
       .select(col("q_id"), col("nbr_id"),

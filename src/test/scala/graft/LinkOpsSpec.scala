@@ -117,4 +117,20 @@ class LinkOpsSpec extends AnyFunSuite {
       .toSet
     assert(got == want)
   }
+
+  test("q70: no unbounded collect over raw in-links in the executed plan") {
+    // the anchor vocabulary must be pre-aggregated to distinct
+    // (dst, token) rows before any list is collected — the uncapped
+    // flatten(collect_list(..)) form grew O(in-degree) state at one
+    // reducer per mega-hub (r5 verdict finding). Guard both halves:
+    // the flatten-of-collected-lists shape is gone, and the collect
+    // sits above a distinct (an extra Aggregate keyed by the token).
+    val spark = TestSpark.spark
+    val plan = LinkOps.anchorText(spark, dir).queryExecution
+      .optimizedPlan.toString
+    assert(!plan.contains("flatten(collect_list"),
+      "anchorText collects raw per-in-link token lists again")
+    assert(plan.contains("collect_list"),
+      "anchorText no longer builds the vocabulary list at all?")
+  }
 }
