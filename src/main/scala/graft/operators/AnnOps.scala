@@ -364,16 +364,21 @@ object AnnOps {
   private[graft] def rescoreTopK(spark: SparkSession, sfDir: String,
       pairIds: DataFrame, k: Int): DataFrame = {
     val embds = embDs(spark, sfDir)
-    // rebalance the skinny (q_id, nbr_id) pair frame BEFORE the
-    // vector joins: the embedding sides broadcast, so the dist compute
-    // and the map-side top-k heaps inherit the pair frame's
-    // partitioning — which AQE coalesces to ~1 partition at fixture
-    // byte sizes (two longs per row), serializing the whole rescore
-    // (q47's profile: one 3.8 s single-task stage). Two longs per row
-    // make the extra exchange ~free relative to the O(pairs·d) dist
-    // work it parallelizes.
+    // NO rebalance of the pair frame here: every caller hands us the
+    // output of a `.distinct()` — a real exchange whose AQE coalescing
+    // (parallelismFirst, the default) already targets the session
+    // parallelism, so the dist compute and the map-side top-k heaps the
+    // broadcast joins fuse onto it run parallel (q21 profiled: the
+    // rescore stage holds 8 tasks at fixture scale, thousands at real
+    // pair volumes). An unconditional repartition(defaultParallelism)
+    // was tried in r6 and is a measured net LOSS at every call site —
+    // min-of-8 at sf0.1: q21 1.57 → 1.79 s, q44 1.99 → 2.97 s — it
+    // re-shuffles the deduped pairs for parallelism the distinct
+    // already provides. (The single-split hazard that motivated it is
+    // real but lives on exchange-FREE probe frames; see
+    // AnnIndex.searchIvfAll, where the rebalance stays and is a
+    // measured 2.3–2.4× win on q45/q47.)
     val cands = pairIds
-      .repartition(spark.sparkContext.defaultParallelism)
       .join(embds.select(col("vec_id").as("q_id"), col("emb").as("q_emb")), "q_id")
       .join(embds.select(col("vec_id").as("nbr_id"), col("emb").as("n_emb")), "nbr_id")
       .select(col("q_id"), col("nbr_id"),
